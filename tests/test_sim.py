@@ -1,0 +1,105 @@
+"""Simulation driver, checkpoint/resume, and CLI end-to-end."""
+
+import os
+
+import numpy as np
+
+from tpulbm.dist.mesh import get_mesh
+from tpulbm.sim.simulation import Simulation
+
+DATA = "/root/repo/data"
+PARAMS = os.path.join(DATA, "input_128x128.params")
+OBST = os.path.join(DATA, "obstacles_128x128.dat")
+
+
+def test_simulation_from_files_runs():
+    sim = Simulation.from_files(PARAMS, OBST, mesh=get_mesh(n_devices=4),
+                                backend="jnp")
+    res = sim.run(n_steps=20)
+    assert res.av_vels.shape == (20,)
+    assert np.all(np.isfinite(res.av_vels))
+    assert res.reynolds > 0
+
+
+def test_chunked_equals_single_run():
+    mesh = get_mesh(n_devices=2)
+    a = Simulation.from_files(PARAMS, OBST, mesh=mesh, backend="jnp")
+    b = Simulation.from_files(PARAMS, OBST, mesh=mesh, backend="jnp")
+    ra = a.run(n_steps=30)
+    rb = b.run(n_steps=30, chunk=7)
+    assert np.array_equal(np.asarray(a.f), np.asarray(b.f))
+    np.testing.assert_array_equal(ra.av_vels, rb.av_vels)
+
+
+def test_checkpoint_resume_bitwise(tmp_path):
+    mesh = get_mesh(n_devices=2)
+    full = Simulation.from_files(PARAMS, OBST, mesh=mesh, backend="jnp")
+    full.run(n_steps=40)
+
+    part = Simulation.from_files(PARAMS, OBST, mesh=mesh, backend="jnp")
+    part.run(n_steps=25)
+    ck = part.save_checkpoint(tmp_path)
+    assert os.path.exists(ck)
+
+    resumed = Simulation.from_files(PARAMS, OBST, mesh=mesh, backend="jnp")
+    resumed.restore_checkpoint(tmp_path)
+    assert resumed.step_count == 25
+    resumed.run(n_steps=15)
+
+    assert np.array_equal(np.asarray(full.f), np.asarray(resumed.f))
+    np.testing.assert_array_equal(full.av_vels[:40], resumed.av_vels[:40])
+
+
+def test_cli_end_to_end(tmp_path):
+    from tpulbm.cli import main
+
+    out = tmp_path / "out"
+    rc = main([
+        PARAMS, OBST, "--max-iters", "10", "--backend", "jnp",
+        "--out-dir", str(out), "--device-count", "2",
+    ])
+    assert rc == 0
+    fs = out / "final_state.dat"
+    av = out / "av_vels.dat"
+    assert fs.exists() and av.exists()
+    av_data = np.loadtxt(av, usecols=[1])
+    assert av_data.shape == (10,)
+    fs_data = np.loadtxt(fs)
+    assert fs_data.shape == (128 * 128, 7)
+    # coordinate order identical to the reference (y-major ascending)
+    assert fs_data[0, 0] == 0 and fs_data[0, 1] == 0
+    assert fs_data[1, 0] == 1 and fs_data[128, 1] == 1
+
+
+def test_checker_cli(tmp_path):
+    """The vendored py3 checker: identical files pass, perturbed files and
+    mismatched coordinates fail (check/check.py semantics)."""
+    from tpulbm.cli import main as run_main
+    from tpulbm.validation.check import main as check_main
+
+    out = tmp_path / "o"
+    run_main([PARAMS, OBST, "--max-iters", "5", "--backend", "jnp",
+              "--out-dir", str(out), "--device-count", "1"])
+    fs, av = str(out / "final_state.dat"), str(out / "av_vels.dat")
+    assert check_main([
+        "--ref-av-vels-file", av, "--ref-final-state-file", fs,
+        "--av-vels-file", av, "--final-state-file", fs,
+    ]) == 0
+
+    # Perturb one av_vels value by 5% -> fail at 1%, pass at 10%.
+    lines = open(av).read().splitlines()
+    step, val = lines[2].split("\t")
+    bad = tmp_path / "bad_av.dat"
+    bad.write_text(
+        "\n".join(lines[:2] + [f"{step}\t{float(val) * 1.05:.12E}"] + lines[3:])
+        + "\n"
+    )
+    assert check_main([
+        "--ref-av-vels-file", av, "--ref-final-state-file", fs,
+        "--av-vels-file", str(bad), "--final-state-file", fs,
+    ]) == 1
+    assert check_main([
+        "--tolerance", "10",
+        "--ref-av-vels-file", av, "--ref-final-state-file", fs,
+        "--av-vels-file", str(bad), "--final-state-file", fs,
+    ]) == 0

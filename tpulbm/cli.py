@@ -1,0 +1,116 @@
+"""Command-line entry point.
+
+Drop-in equivalent of the reference binary's CLI (d2q9-bgk.c:153-440,
+1153-1157):
+
+    python -m tpulbm <paramfile> <obstaclefile> [options]
+
+prints the same result block (Reynolds number, wall/user/system time —
+d2q9-bgk.c:409-416) and writes reference-format final_state.dat and
+av_vels.dat into --out-dir.
+"""
+
+from __future__ import annotations
+
+import argparse
+import resource
+import sys
+import time
+
+
+def build_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(
+        prog="tpulbm",
+        description="TPU-native D2Q9-BGK lattice-Boltzmann solver",
+    )
+    p.add_argument("paramfile")
+    p.add_argument("obstaclefile")
+    p.add_argument("--out-dir", default=".", help="output directory")
+    p.add_argument(
+        "--backend",
+        choices=["auto", "pallas", "jnp"],
+        default="auto",
+        help="compute path: fused Pallas kernel, pure-jnp, or auto",
+    )
+    p.add_argument(
+        "--device-count",
+        type=int,
+        default=None,
+        help="number of devices in the 1-D mesh (default: all)",
+    )
+    p.add_argument(
+        "--max-iters", type=int, default=None, help="override deck maxIters"
+    )
+    p.add_argument(
+        "--chunk", type=int, default=None, help="steps per jitted scan chunk"
+    )
+    p.add_argument(
+        "--checkpoint-every", type=int, default=None,
+        help="save an npz checkpoint every N steps",
+    )
+    p.add_argument(
+        "--checkpoint-dir", default=None, help="checkpoint directory"
+    )
+    p.add_argument(
+        "--resume", default=None,
+        help="checkpoint file or directory to resume from",
+    )
+    p.add_argument(
+        "--profile-dir", default=None,
+        help="capture a jax.profiler trace of the step loop into this dir",
+    )
+    p.add_argument("--progress", action="store_true")
+    p.add_argument(
+        "--no-output", action="store_true",
+        help="skip writing final_state.dat/av_vels.dat (like PROFILE builds "
+             "of the reference, d2q9-bgk.c:419-421)",
+    )
+    return p
+
+
+def main(argv=None) -> int:
+    args = build_parser().parse_args(argv)
+
+    import dataclasses
+
+    from tpulbm.dist.mesh import get_mesh
+    from tpulbm.sim.simulation import Simulation
+    from tpulbm.utils.profiling import trace_region
+
+    mesh = get_mesh(n_devices=args.device_count)
+    sim = Simulation.from_files(
+        args.paramfile, args.obstaclefile, mesh=mesh, backend=args.backend
+    )
+    if args.max_iters is not None:
+        sim.params = dataclasses.replace(sim.params, max_iters=args.max_iters)
+        import numpy as np
+
+        sim.av_vels = np.zeros((args.max_iters,), dtype=np.float32)
+    if args.resume:
+        sim.restore_checkpoint(args.resume)
+
+    tic = time.time()
+    with trace_region("mainloop", args.profile_dir):
+        result = sim.run(
+            chunk=args.chunk,
+            checkpoint_every=args.checkpoint_every,
+            checkpoint_dir=args.checkpoint_dir,
+            progress=args.progress,
+        )
+    toc = time.time()
+    ru = resource.getrusage(resource.RUSAGE_SELF)
+
+    # Same result block as the reference MASTER rank (d2q9-bgk.c:409-416).
+    print("==done==")
+    print("Reynolds number:\t\t%.12E" % result.reynolds)
+    print("Elapsed time:\t\t\t%.6f (s)" % (toc - tic))
+    print("Elapsed user CPU time:\t\t%.6f (s)" % ru.ru_utime)
+    print("Elapsed system CPU time:\t%.6f (s)" % ru.ru_stime)
+
+    if not args.no_output:
+        sim.write_outputs(args.out_dir)
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

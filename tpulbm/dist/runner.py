@@ -1,0 +1,116 @@
+"""The sharded step-loop runner.
+
+Composes the whole distributed architecture in one ``shard_map`` over a 1-D
+mesh:
+
+- width-1 halo rows move between ring neighbours with ``lax.ppermute``
+  (replacing the persistent MPI requests of d2q9-bgk.c:295-313,326-366); the
+  periodic y-boundary is the ring wrap-around, exactly as the reference's
+  neighbour arithmetic (d2q9-bgk.c:245-247);
+- the per-step average-velocity series accumulates locally inside the scan
+  and is reduced with ONE deferred ``psum`` after the loop, mirroring the
+  reference's single post-loop ``MPI_Reduce`` (d2q9-bgk.c:367-374,396);
+- XLA's latency-hiding scheduler overlaps the ppermute with interior compute,
+  the role ``I_MPI_ASYNC_PROGRESS=1`` plays in the reference (env.sh:7).
+
+The local compute is either the jnp fallback (ops.step_local) or the fused
+Pallas kernel (ops.pallas_step).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Callable, Optional
+
+import jax
+import jax.numpy as jnp
+from jax.sharding import Mesh, PartitionSpec as P
+
+from tpulbm.core.params import LBMParams
+from tpulbm.dist.mesh import AXIS, get_mesh
+from tpulbm.dist.sharding import validate_even_split
+from tpulbm.ops import step_local
+
+
+def _select_backend(backend: str) -> str:
+    if backend != "auto":
+        return backend
+    platform = jax.devices()[0].platform
+    if platform == "tpu" or platform == "axon":
+        return "pallas"
+    return "jnp"
+
+
+def make_runner(
+    params: LBMParams,
+    n_steps: int,
+    mesh: Optional[Mesh] = None,
+    backend: str = "auto",
+    axis_name: str = AXIS,
+) -> Callable:
+    """Builds a jitted ``runner(f, obstacles) -> (f', av_vels)``.
+
+    ``f`` is the global (9, ny, nx) float32 state (sharded or not — jit will
+    respect/install the row sharding), ``obstacles`` the global (ny, nx) bool
+    mask. ``av_vels`` is the (n_steps,) float32 series, fully reduced.
+    """
+    if mesh is None:
+        mesh = get_mesh(axis_name=axis_name)
+    n_dev = mesh.devices.size
+    rows_local = validate_even_split(params.ny, n_dev)
+    backend = _select_backend(backend)
+
+    if backend == "pallas":
+        from tpulbm.ops import pallas_step
+
+        local_step = pallas_step.make_local_step(
+            rows_local, params.nx, params.omega, params.accel_w1, params.accel_w2
+        )
+    elif backend == "jnp":
+        omega = jnp.float32(params.omega)
+        w1 = jnp.float32(params.accel_w1)
+        w2 = jnp.float32(params.accel_w2)
+
+        def local_step(f_loc, halo_lo, halo_hi, obst, accel_row):
+            return step_local.local_step_jnp(
+                f_loc, halo_lo, halo_hi, obst, accel_row, omega, w1, w2
+            )
+    else:
+        raise ValueError(f"unknown backend {backend!r}")
+
+    free_inv = jnp.float32(params.free_cells_inv)
+    accel_row_global = params.accel_row
+    perm_fwd = [(i, (i + 1) % n_dev) for i in range(n_dev)]
+    perm_bwd = [(i, (i - 1) % n_dev) for i in range(n_dev)]
+
+    def body(f_loc, obst_loc):
+        d = jax.lax.axis_index(axis_name)
+        r = accel_row_global - d * rows_local
+        accel_row_local = jnp.where(
+            (r >= 0) & (r < rows_local), r, jnp.int32(-1)
+        ).astype(jnp.int32)
+
+        def one_step(f, _):
+            # My last interior row becomes the next device's halo_lo; my
+            # first interior row becomes the previous device's halo_hi.
+            halo_lo = jax.lax.ppermute(f[:, -1, :], axis_name, perm_fwd)
+            halo_hi = jax.lax.ppermute(f[:, 0, :], axis_name, perm_bwd)
+            f_new, tot_u = local_step(f, halo_lo, halo_hi, obst_loc, accel_row_local)
+            return f_new, tot_u * free_inv
+
+        f_out, av_local = jax.lax.scan(one_step, f_loc, None, length=n_steps)
+        av = jax.lax.psum(av_local, axis_name)
+        return f_out, av
+
+    sharded = jax.shard_map(
+        body,
+        mesh=mesh,
+        in_specs=(P(None, axis_name, None), P(axis_name, None)),
+        out_specs=(P(None, axis_name, None), P()),
+    )
+
+    @functools.partial(jax.jit, donate_argnums=0)
+    def runner(f, obstacles):
+        return sharded(f, obstacles)
+
+    return runner

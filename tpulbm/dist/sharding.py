@@ -1,0 +1,76 @@
+"""Row-decomposition policy and sharding helpers.
+
+The reference balances a remainder over ranks and forces the last rank to own
+at least 3 rows so the accelerated row stays interior (d2q9-bgk.c:834-862).
+The TPU design shards the y-axis evenly instead and requires divisibility —
+every shipped grid (128/256/1024/4096 rows) divides the natural mesh sizes —
+which keeps shapes static for XLA and makes `ppermute` halo indexing uniform.
+``decompose_rows`` still implements the reference's remainder-balanced split
+(including the >=3-rows-for-the-last-rank rule) for API parity and for tests
+that check equivalence of the two policies.
+"""
+
+from __future__ import annotations
+
+from typing import List, Tuple
+
+import jax
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+
+def decompose_rows(ny: int, n_ranks: int) -> Tuple[List[int], List[int]]:
+    """(rows_per_rank, row_offsets) with the reference's balancing rules
+    (d2q9-bgk.c:834-862)."""
+    base = ny // n_ranks
+    left = ny % n_ranks
+    one_for_last = 0
+    one_less_second_last = 0
+    if base < 3 and left:
+        left -= 1
+        one_for_last = 1
+    elif base < 3 and not left:
+        one_for_last = 1
+        one_less_second_last = 1
+    ny_local = []
+    displs = []
+    for proc in range(n_ranks):
+        if proc < n_ranks - 2:
+            rows = base
+        elif proc == n_ranks - 2:
+            rows = base - one_less_second_last
+        else:
+            rows = base + one_for_last
+        if proc < left:
+            rows += 1
+        ny_local.append(rows)
+        displs.append(0 if proc == 0 else displs[proc - 1] + ny_local[proc - 1])
+    return ny_local, displs
+
+
+def validate_even_split(ny: int, n_devices: int) -> int:
+    """Rows per device for the even split used on TPU; raises if invalid."""
+    if ny % n_devices != 0:
+        raise ValueError(
+            f"ny={ny} must divide evenly over {n_devices} devices "
+            "(pad the grid or choose a different mesh)"
+        )
+    rows = ny // n_devices
+    if rows < 3:
+        raise ValueError(
+            f"each device needs >= 3 rows (got {rows}); the accelerated row "
+            "must stay interior to its shard (see d2q9-bgk.c:838-849)"
+        )
+    return rows
+
+
+def row_sharding(mesh: Mesh, axis_name: str = "y"):
+    """(state_sharding, mask_sharding): shard the y axis of (9, ny, nx) and
+    (ny, nx) arrays over the mesh."""
+    state = NamedSharding(mesh, P(None, axis_name, None))
+    mask = NamedSharding(mesh, P(axis_name, None))
+    return state, mask
+
+
+def shard_arrays(mesh: Mesh, f, obstacles, axis_name: str = "y"):
+    state_s, mask_s = row_sharding(mesh, axis_name)
+    return jax.device_put(f, state_s), jax.device_put(obstacles, mask_s)

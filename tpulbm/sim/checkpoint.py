@@ -1,0 +1,69 @@
+"""Step-stamped checkpoint / resume.
+
+The reference has no checkpointing at all — a killed job reruns from scratch
+(SURVEY.md section 5.3/5.4). Here snapshots are cheap npz files carrying the
+full distribution state, the accumulated av_vels prefix and the parameter
+deck, so a run can resume bitwise-identically at step k.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import json
+import os
+import re
+from typing import Tuple
+
+import numpy as np
+
+from tpulbm.core.params import LBMParams
+
+_NAME_RE = re.compile(r"ckpt_(\d+)\.npz$")
+
+
+def save(directory, step: int, f: np.ndarray, av_vels: np.ndarray,
+         params: LBMParams) -> str:
+    os.makedirs(directory, exist_ok=True)
+    path = os.path.join(directory, f"ckpt_{step:08d}.npz")
+    tmp = path + ".tmp.npz"
+    np.savez_compressed(
+        tmp,
+        step=np.int64(step),
+        f=np.asarray(f, dtype=np.float32),
+        av_vels=np.asarray(av_vels, dtype=np.float32),
+        params=json.dumps(dataclasses.asdict(params)),
+    )
+    os.replace(tmp, path)
+    return path
+
+
+def latest(directory) -> str | None:
+    if not os.path.isdir(directory):
+        return None
+    best = None
+    best_step = -1
+    for name in os.listdir(directory):
+        m = _NAME_RE.match(name)
+        if m and int(m.group(1)) > best_step:
+            best_step = int(m.group(1))
+            best = os.path.join(directory, name)
+    return best
+
+
+def restore(path_or_dir, params: LBMParams) -> Tuple[int, np.ndarray, np.ndarray]:
+    path = path_or_dir
+    if os.path.isdir(path):
+        path = latest(path)
+        if path is None:
+            raise FileNotFoundError(f"no checkpoints under {path_or_dir}")
+    with np.load(path, allow_pickle=False) as z:
+        step = int(z["step"])
+        f = z["f"]
+        av_vels = z["av_vels"]
+        saved = json.loads(str(z["params"]))
+    if (saved["nx"], saved["ny"]) != (params.nx, params.ny):
+        raise ValueError(
+            f"checkpoint grid {saved['nx']}x{saved['ny']} does not match "
+            f"{params.nx}x{params.ny}"
+        )
+    return step, f, av_vels

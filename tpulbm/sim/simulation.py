@@ -1,0 +1,168 @@
+"""High-level simulation driver.
+
+Owns the lifecycle the reference's ``main`` drives by hand
+(d2q9-bgk.c:153-440): initialise from a parameter deck + obstacle file, run
+the step loop (in jitted chunks so checkpointing and progress reporting are
+possible mid-run — a subsystem the reference lacks entirely), then expose the
+final state, the av_vels series and the Reynolds number.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import os
+import time
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh
+
+from tpulbm.core.params import LBMParams
+from tpulbm.core.state import initial_state
+from tpulbm.diag.observables import av_velocity, calc_reynolds
+from tpulbm.dist.mesh import get_mesh
+from tpulbm.dist.runner import make_runner
+from tpulbm.dist.sharding import shard_arrays
+from tpulbm.io.obstacles import read_obstacles
+from tpulbm.io.params_file import read_params
+from tpulbm.io.writers import write_av_vels, write_final_state
+from tpulbm.sim import checkpoint as ckpt
+
+
+@dataclasses.dataclass
+class SimulationResult:
+    params: LBMParams
+    f: jnp.ndarray
+    av_vels: np.ndarray
+    reynolds: float
+    elapsed_s: float
+
+
+class Simulation:
+    def __init__(
+        self,
+        params: LBMParams,
+        obstacles: np.ndarray,
+        mesh: Optional[Mesh] = None,
+        backend: str = "auto",
+    ):
+        if params.free_cells_inv == 0.0:
+            params = params.with_free_cells(
+                params.nx * params.ny - int(np.asarray(obstacles).sum())
+            )
+        self.params = params
+        self.mesh = mesh if mesh is not None else get_mesh(n_devices=None)
+        self.backend = backend
+        obst = jnp.asarray(np.asarray(obstacles, dtype=bool))
+        f = initial_state(params)
+        self.f, self.obstacles = shard_arrays(self.mesh, f, obst)
+        self.step_count = 0
+        self.av_vels = np.zeros((params.max_iters,), dtype=np.float32)
+        self._runners = {}
+
+    @classmethod
+    def from_files(
+        cls,
+        param_file: str | os.PathLike,
+        obstacle_file: str | os.PathLike,
+        mesh: Optional[Mesh] = None,
+        backend: str = "auto",
+    ) -> "Simulation":
+        params = read_params(param_file)
+        mask, num_free = read_obstacles(obstacle_file, params.nx, params.ny)
+        return cls(params.with_free_cells(num_free), mask, mesh=mesh, backend=backend)
+
+    def _runner(self, n_steps: int):
+        key = n_steps
+        if key not in self._runners:
+            self._runners[key] = make_runner(
+                self.params, n_steps, mesh=self.mesh, backend=self.backend
+            )
+        return self._runners[key]
+
+    def run(
+        self,
+        n_steps: Optional[int] = None,
+        chunk: Optional[int] = None,
+        checkpoint_every: Optional[int] = None,
+        checkpoint_dir: Optional[str] = None,
+        progress: bool = False,
+    ) -> SimulationResult:
+        """Advance ``n_steps`` (default: the deck's maxIters minus steps
+        already taken), returning the accumulated result."""
+        total = (
+            self.params.max_iters - self.step_count if n_steps is None else n_steps
+        )
+        if chunk is None:
+            chunk = total if checkpoint_every is None else checkpoint_every
+        chunk = max(1, min(chunk, total))
+        t0 = time.perf_counter()
+        done = 0
+        while done < total:
+            n = min(chunk, total - done)
+            runner = self._runner(n)
+            self.f, av = runner(self.f, self.obstacles)
+            av_np = np.asarray(av)
+            lo = self.step_count
+            self.av_vels[lo : lo + n] = av_np
+            self.step_count += n
+            done += n
+            if progress:
+                print(
+                    f"step {self.step_count}/{self.params.max_iters} "
+                    f"av_vel={av_np[-1]:.6E}",
+                    flush=True,
+                )
+            if checkpoint_every and checkpoint_dir and (
+                self.step_count % checkpoint_every == 0
+                or done >= total
+            ):
+                self.save_checkpoint(checkpoint_dir)
+        jax.block_until_ready(self.f)
+        elapsed = time.perf_counter() - t0
+        reyn = float(calc_reynolds(self.f, self.obstacles, self.params))
+        return SimulationResult(
+            params=self.params,
+            f=self.f,
+            av_vels=self.av_vels[: self.step_count].copy(),
+            reynolds=reyn,
+            elapsed_s=elapsed,
+        )
+
+    # -- observables ------------------------------------------------------
+    def reynolds(self) -> float:
+        return float(calc_reynolds(self.f, self.obstacles, self.params))
+
+    def average_velocity(self) -> float:
+        return float(av_velocity(self.f, self.obstacles, self.params))
+
+    # -- persistence ------------------------------------------------------
+    def write_outputs(self, out_dir: str | os.PathLike = ".") -> None:
+        os.makedirs(out_dir, exist_ok=True)
+        write_final_state(
+            os.path.join(out_dir, "final_state.dat"),
+            np.asarray(self.f),
+            np.asarray(self.obstacles),
+            self.params,
+        )
+        write_av_vels(
+            os.path.join(out_dir, "av_vels.dat"), self.av_vels[: self.step_count]
+        )
+
+    def save_checkpoint(self, directory: str | os.PathLike) -> str:
+        return ckpt.save(
+            directory,
+            step=self.step_count,
+            f=np.asarray(self.f),
+            av_vels=self.av_vels,
+            params=self.params,
+        )
+
+    def restore_checkpoint(self, path_or_dir: str | os.PathLike) -> None:
+        step, f, av_vels = ckpt.restore(path_or_dir, self.params)
+        self.step_count = step
+        self.av_vels[: av_vels.size] = av_vels[: self.av_vels.size]
+        f_arr, _ = shard_arrays(self.mesh, jnp.asarray(f), self.obstacles)
+        self.f = f_arr
