@@ -19,17 +19,18 @@ from __future__ import annotations
 from typing import Sequence
 
 import jax.numpy as jnp
+import numpy as np
 
 from tpulbm.core.lattice import NSPEEDS, OPP, W0, W1, W2
 
-_HALF = jnp.float32(0.5)
-_IC_SQ = jnp.float32(3.0)
+_HALF = np.float32(0.5)
+_IC_SQ = np.float32(3.0)
 
 
 def macroscopics(t: Sequence[jnp.ndarray]):
     """density, 1/density, momentum components and |m|^2 (d2q9-bgk.c:542-590)."""
     dens = t[0] + t[1] + t[2] + t[3] + t[4] + t[5] + t[6] + t[7] + t[8]
-    densinv = jnp.float32(1.0) / dens
+    densinv = np.float32(1.0) / dens
     m_x = t[1] + t[5] + t[8] - t[3] - t[6] - t[7]
     m_y = t[2] + t[5] + t[6] - t[4] - t[7] - t[8]
     u_sq = m_x * m_x + m_y * m_y
@@ -68,12 +69,12 @@ def collide(t: Sequence[jnp.ndarray], obstacle_mask: jnp.ndarray, omega):
     """
     dens, densinv, m_x, m_y, u_sq = macroscopics(t)
     feq = equilibrium(dens, densinv, m_x, m_y, u_sq)
-    om = jnp.float32(omega)
+    om = np.float32(omega)
     out = []
     for k in range(NSPEEDS):
         relaxed = t[k] + om * (feq[k] - t[k])
         out.append(jnp.where(obstacle_mask, t[OPP[k]], relaxed))
     speed = jnp.where(
-        obstacle_mask, jnp.float32(0.0), jnp.sqrt(u_sq) * densinv
+        obstacle_mask, np.float32(0.0), jnp.sqrt(u_sq) * densinv
     )
     return out, speed

@@ -58,18 +58,32 @@ def make_runner(
         mesh = get_mesh(axis_name=axis_name)
     n_dev = mesh.devices.size
     rows_local = validate_even_split(params.ny, n_dev)
+    requested = backend
     backend = _select_backend(backend)
+    if backend == "pallas":
+        from tpulbm.ops import pallas_step
+
+        if not pallas_step.supported(rows_local, params.nx):
+            if requested == "pallas":
+                raise ValueError(
+                    f"pallas backend unsupported for local shape "
+                    f"({rows_local}, {params.nx})"
+                )
+            backend = "jnp"
 
     if backend == "pallas":
         from tpulbm.ops import pallas_step
 
-        local_step = pallas_step.make_local_step(
+        prepare, local_step = pallas_step.make_local_step(
             rows_local, params.nx, params.omega, params.accel_w1, params.accel_w2
         )
     elif backend == "jnp":
-        omega = jnp.float32(params.omega)
-        w1 = jnp.float32(params.accel_w1)
-        w2 = jnp.float32(params.accel_w2)
+        omega = float(params.omega)
+        w1 = float(params.accel_w1)
+        w2 = float(params.accel_w2)
+
+        def prepare(obst, accel_row):
+            return obst
 
         def local_step(f_loc, halo_lo, halo_hi, obst, accel_row):
             return step_local.local_step_jnp(
@@ -83,19 +97,42 @@ def make_runner(
     perm_fwd = [(i, (i + 1) % n_dev) for i in range(n_dev)]
     perm_bwd = [(i, (i - 1) % n_dev) for i in range(n_dev)]
 
+    if n_dev == 1:
+        # Single-device fast path: the ring degenerates to self-wrap, so the
+        # halo rows are the block's own edge rows and no collectives are
+        # needed. (Measured: per-step ppermute+psum through shard_map costs
+        # ~300 us on a 1-device mesh — pure overhead there.) Equivalence with
+        # the ring path is covered by the device-count invariance tests.
+        accel_row_local = jnp.int32(accel_row_global)
+
+        @functools.partial(jax.jit, donate_argnums=0)
+        def runner_single(f, obstacles):
+            aux = prepare(obstacles, accel_row_local)
+
+            def one_step(g, _):
+                f_new, tot_u = local_step(
+                    g, g[:, -1, :], g[:, 0, :], aux, accel_row_local
+                )
+                return f_new, tot_u * free_inv
+
+            return jax.lax.scan(one_step, f, None, length=n_steps)
+
+        return runner_single
+
     def body(f_loc, obst_loc):
         d = jax.lax.axis_index(axis_name)
         r = accel_row_global - d * rows_local
         accel_row_local = jnp.where(
             (r >= 0) & (r < rows_local), r, jnp.int32(-1)
         ).astype(jnp.int32)
+        aux = prepare(obst_loc, accel_row_local)
 
         def one_step(f, _):
             # My last interior row becomes the next device's halo_lo; my
             # first interior row becomes the previous device's halo_hi.
             halo_lo = jax.lax.ppermute(f[:, -1, :], axis_name, perm_fwd)
             halo_hi = jax.lax.ppermute(f[:, 0, :], axis_name, perm_bwd)
-            f_new, tot_u = local_step(f, halo_lo, halo_hi, obst_loc, accel_row_local)
+            f_new, tot_u = local_step(f, halo_lo, halo_hi, aux, accel_row_local)
             return f_new, tot_u * free_inv
 
         f_out, av_local = jax.lax.scan(one_step, f_loc, None, length=n_steps)
@@ -107,6 +144,10 @@ def make_runner(
         mesh=mesh,
         in_specs=(P(None, axis_name, None), P(axis_name, None)),
         out_specs=(P(None, axis_name, None), P()),
+        # pallas_call outputs carry no varying-mesh-axes annotation; skip the
+        # vma check (correctness is covered by the device-count invariance
+        # tests).
+        check_vma=False,
     )
 
     @functools.partial(jax.jit, donate_argnums=0)
