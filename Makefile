@@ -1,0 +1,40 @@
+# Developer entry points, mirroring the reference Makefile's targets
+# (reference Makefile:14-34: all/check/profile/debug) in framework form.
+
+PY ?= python
+DECK ?= 128x128
+OUT ?= out
+
+.PHONY: all test check run bench native clean profile
+
+all: native
+
+# Build the native IO runtime explicitly (it also builds lazily on demand).
+native:
+	g++ -O2 -std=c++17 -shared -fPIC native/io_native.cpp -o native/build/libtpulbm_io.so 2>/dev/null || mkdir -p native/build && g++ -O2 -std=c++17 -shared -fPIC native/io_native.cpp -o native/build/libtpulbm_io.so
+
+test:
+	$(PY) -m pytest tests/ -q
+
+run:
+	$(PY) -m tpulbm data/input_$(DECK).params data/obstacles_$(DECK).dat --out-dir $(OUT)
+
+# Golden regression gate — the reference's `make check` (Makefile:19-20).
+check: run
+	$(PY) -m tpulbm.validation.check \
+	  --ref-av-vels-file tests/goldens/$(DECK).av_vels.dat \
+	  --ref-final-state-file tests/goldens/$(DECK).final_state.dat \
+	  --av-vels-file $(OUT)/av_vels.dat \
+	  --final-state-file $(OUT)/final_state.dat
+
+bench:
+	$(PY) bench.py
+
+# Capture an xprof trace of the step loop — the `make profile` equivalent
+# (reference Makefile:30-31 + MPI_Pcontrol brackets).
+profile:
+	$(PY) -m tpulbm data/input_$(DECK).params data/obstacles_$(DECK).dat \
+	  --out-dir $(OUT) --profile-dir $(OUT)/trace --no-output
+
+clean:
+	rm -rf $(OUT) native/build __pycache__ tpulbm/**/__pycache__ .pytest_cache
