@@ -103,3 +103,40 @@ def test_checker_cli(tmp_path):
         "--ref-av-vels-file", av, "--ref-final-state-file", fs,
         "--av-vels-file", str(bad), "--final-state-file", fs,
     ]) == 0
+
+
+def test_cli_clean_errors(tmp_path, capsys):
+    """Reference-style die(): one clean stderr line, exit 1, no traceback
+    (d2q9-bgk.c:1145-1151)."""
+    from tpulbm.cli import main
+
+    assert main(["/nonexistent.params", OBST]) == 1
+    err = capsys.readouterr().err
+    assert "could not open input file" in err and "Traceback" not in err
+
+    bad = tmp_path / "bad.dat"
+    bad.write_text("5 5 2\n")
+    assert main([PARAMS, str(bad)]) == 1
+    err = capsys.readouterr().err
+    assert "blocked value" in err
+
+    assert main([PARAMS, OBST, "--device-count", "3"]) == 1
+    err = capsys.readouterr().err
+    assert "devices" in err
+
+
+def test_cli_debug_flag(tmp_path, capsys):
+    from tpulbm.cli import main
+
+    rc = main([PARAMS, OBST, "--max-iters", "4", "--chunk", "2",
+               "--backend", "jnp", "--device-count", "1",
+               "--out-dir", str(tmp_path), "--debug"])
+    assert rc == 0
+    out = capsys.readouterr().out
+    assert "==timestep: 1==" in out and "tot density:" in out
+    # density must equal nx*ny*density throughout (mass conservation)
+    import re
+
+    vals = [float(x) for x in re.findall(r"tot density: (\S+)", out)]
+    assert vals and all(abs(v - 0.1 * 128 * 128) / (0.1 * 128 * 128) < 1e-4
+                        for v in vals)

@@ -65,7 +65,19 @@ def build_parser() -> argparse.ArgumentParser:
         help="skip writing final_state.dat/av_vels.dat (like PROFILE builds "
              "of the reference, d2q9-bgk.c:419-421)",
     )
+    p.add_argument(
+        "--debug", action="store_true",
+        help="print av_velocity and total_density each chunk (the reference's "
+             "DEBUG block, d2q9-bgk.c:380-393)",
+    )
     return p
+
+
+def die(message: str) -> "int":
+    """Reference-style fatal error (d2q9-bgk.c:1145-1151): one clean line on
+    stderr, exit status 1 — no traceback."""
+    print(f"Error: {message}", file=sys.stderr, flush=True)
+    return 1
 
 
 def main(argv=None) -> int:
@@ -74,20 +86,30 @@ def main(argv=None) -> int:
     import dataclasses
 
     from tpulbm.dist.mesh import get_mesh
+    from tpulbm.io.obstacles import ObstacleFileError
+    from tpulbm.io.params_file import ParamFileError
     from tpulbm.sim.simulation import Simulation
     from tpulbm.utils.profiling import trace_region
 
-    mesh = get_mesh(n_devices=args.device_count)
-    sim = Simulation.from_files(
-        args.paramfile, args.obstaclefile, mesh=mesh, backend=args.backend
-    )
+    try:
+        mesh = get_mesh(n_devices=args.device_count)
+        sim = Simulation.from_files(
+            args.paramfile, args.obstaclefile, mesh=mesh, backend=args.backend
+        )
+    except FileNotFoundError as e:
+        return die(f"could not open input file: {e.filename}")
+    except (ParamFileError, ObstacleFileError, ValueError) as e:
+        return die(str(e))
     if args.max_iters is not None:
         sim.params = dataclasses.replace(sim.params, max_iters=args.max_iters)
         import numpy as np
 
         sim.av_vels = np.zeros((args.max_iters,), dtype=np.float32)
     if args.resume:
-        sim.restore_checkpoint(args.resume)
+        try:
+            sim.restore_checkpoint(args.resume)
+        except (FileNotFoundError, ValueError) as e:
+            return die(f"cannot resume: {e}")
 
     tic = time.time()
     with trace_region("mainloop", args.profile_dir):
@@ -96,6 +118,7 @@ def main(argv=None) -> int:
             checkpoint_every=args.checkpoint_every,
             checkpoint_dir=args.checkpoint_dir,
             progress=args.progress,
+            debug=args.debug,
         )
     toc = time.time()
     ru = resource.getrusage(resource.RUSAGE_SELF)

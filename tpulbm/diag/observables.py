@@ -45,3 +45,23 @@ def calc_reynolds(f: jnp.ndarray, obstacles: jnp.ndarray, params: LBMParams):
 @jax.jit
 def total_density(f: jnp.ndarray):
     return jnp.sum(f, dtype=jnp.float32)
+
+
+@jax.jit
+def output_fields(f: jnp.ndarray, obstacles: jnp.ndarray, density):
+    """(u_x, u_y, |u|, pressure) for final_state output, computed on device
+    (obstacle cells: zero velocity, ambient pressure density/3 —
+    d2q9-bgk.c:1076-1111). Transferring four (ny, nx) planes instead of the
+    nine-channel state keeps host readback under half the bytes."""
+    zero = jnp.float32(0.0)
+    c_sq = jnp.float32(1.0) / jnp.float32(3.0)
+    dens = jnp.sum(f, axis=0)
+    m_x = f[1] + f[5] + f[8] - (f[3] + f[6] + f[7])
+    m_y = f[2] + f[5] + f[6] - (f[4] + f[7] + f[8])
+    u_x = jnp.where(obstacles, zero, m_x / dens)
+    u_y = jnp.where(obstacles, zero, m_y / dens)
+    u = jnp.sqrt(u_x * u_x + u_y * u_y)
+    pressure = jnp.where(
+        obstacles, jnp.float32(density) * c_sq, dens * c_sq
+    )
+    return u_x, u_y, u, pressure

@@ -48,8 +48,17 @@ def write_final_state(
     f: np.ndarray,
     obstacles: np.ndarray,
     params: LBMParams,
+    fields=None,
 ) -> None:
-    u_x, u_y, u, pressure = final_state_fields(f, obstacles, params)
+    """``fields`` may carry precomputed (u_x, u_y, u, pressure) planes (e.g.
+    from tpulbm.diag.observables.output_fields on device); otherwise they are
+    derived here from the raw state."""
+    if fields is None:
+        u_x, u_y, u, pressure = final_state_fields(f, obstacles, params)
+    else:
+        u_x, u_y, u, pressure = (
+            np.asarray(a, dtype=np.float32) for a in fields
+        )
     obst_i = np.asarray(obstacles, dtype=np.int32)
     if native.available():
         native.write_final_state(str(path), u_x, u_y, u, pressure, obst_i)

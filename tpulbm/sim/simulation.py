@@ -55,6 +55,9 @@ class Simulation:
         self.params = params
         self.mesh = mesh if mesh is not None else get_mesh(n_devices=None)
         self.backend = backend
+        from tpulbm.dist.sharding import validate_even_split
+
+        validate_even_split(params.ny, self.mesh.devices.size)
         obst = jnp.asarray(np.asarray(obstacles, dtype=bool))
         f = initial_state(params)
         self.f, self.obstacles = shard_arrays(self.mesh, f, obst)
@@ -89,6 +92,7 @@ class Simulation:
         checkpoint_every: Optional[int] = None,
         checkpoint_dir: Optional[str] = None,
         progress: bool = False,
+        debug: bool = False,
     ) -> SimulationResult:
         """Advance ``n_steps`` (default: the deck's maxIters minus steps
         already taken), returning the accumulated result."""
@@ -115,6 +119,14 @@ class Simulation:
                     f"av_vel={av_np[-1]:.6E}",
                     flush=True,
                 )
+            if debug:
+                # The reference's DEBUG block (d2q9-bgk.c:380-393).
+                from tpulbm.diag.observables import total_density
+
+                print(f"==timestep: {self.step_count - 1}==")
+                print(f"av velocity: {av_np[-1]:.12E}")
+                print(f"tot density: {float(total_density(self.f)):.12E}",
+                      flush=True)
             if checkpoint_every and checkpoint_dir and (
                 self.step_count % checkpoint_every == 0
                 or done >= total
@@ -140,12 +152,16 @@ class Simulation:
 
     # -- persistence ------------------------------------------------------
     def write_outputs(self, out_dir: str | os.PathLike = ".") -> None:
+        from tpulbm.diag.observables import output_fields
+
         os.makedirs(out_dir, exist_ok=True)
+        fields = output_fields(self.f, self.obstacles, self.params.density)
         write_final_state(
             os.path.join(out_dir, "final_state.dat"),
-            np.asarray(self.f),
+            None,
             np.asarray(self.obstacles),
             self.params,
+            fields=fields,
         )
         write_av_vels(
             os.path.join(out_dir, "av_vels.dat"), self.av_vels[: self.step_count]
