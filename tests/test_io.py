@@ -138,3 +138,24 @@ def test_native_and_python_writers_identical(tmp_path, monkeypatch):
 
     assert a.read_text() == b.read_text()
     assert a2.read_text() == b2.read_text()
+
+
+def test_make_deck_matches_reference_geometry(tmp_path):
+    """Generated decks reproduce the shipped decks' closed-box geometry."""
+    from tpulbm.tools.make_deck import box_obstacles, make_deck
+
+    ref_mask, _ = read_obstacles(
+        os.path.join(DATA, "obstacles_128x128.dat"), 128, 128
+    )
+    gen = box_obstacles(128, 128)
+    # shipped deck == closed box (plus its 4 duplicate entries, maskwise equal)
+    assert np.array_equal(ref_mask, gen)
+
+    ppath, opath = make_deck(256, 64, 100, out_dir=tmp_path,
+                             blocks=[(10, 20, 5, 8)])
+    from tpulbm.io.params_file import read_params
+    p = read_params(ppath)
+    assert (p.nx, p.ny, p.max_iters) == (256, 64, 100)
+    mask, num_free = read_obstacles(opath, 256, 64)
+    assert mask[0].all() and mask[-1].all() and mask[:, 0].all()
+    assert mask[12, 24] and not mask[12, 30]
