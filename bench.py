@@ -24,6 +24,10 @@ def main():
     import jax.numpy as jnp
     import numpy as np
 
+    from tpulbm.utils.cache import enable_compilation_cache
+
+    enable_compilation_cache()
+
     from tpulbm.core.state import initial_state
     from tpulbm.dist.mesh import get_mesh
     from tpulbm.dist.runner import make_runner

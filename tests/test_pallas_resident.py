@@ -1,0 +1,49 @@
+"""VMEM-resident multi-step kernel: differential tests vs the jnp oracle."""
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from tpulbm.core.state import initial_state
+from tpulbm.dist.mesh import get_mesh
+from tpulbm.dist.runner import _make_resident_runner, make_runner
+from tpulbm.ops import pallas_resident
+from tpulbm.ops.step_jnp import run_steps
+
+
+@pytest.mark.parametrize("k_chunk", [23, 8, 5])
+def test_resident_matches_oracle_bitwise(params_128, k_chunk):
+    """Whole-grid-in-VMEM stepping (incl. scan-of-chunks + remainder call)
+    reproduces the oracle bitwise."""
+    params, mask = params_128
+    obst = jnp.asarray(mask)
+    n = 23
+    f_ref, av_ref = run_steps(initial_state(params), obst, params, n)
+    runner = _make_resident_runner(params, n, k_chunk=k_chunk)
+    f, av = runner(initial_state(params), obst)
+    assert np.array_equal(np.asarray(f), np.asarray(f_ref))
+    np.testing.assert_allclose(np.asarray(av), np.asarray(av_ref), rtol=2e-6)
+    assert av.shape == (n,)
+
+
+def test_runner_auto_selects_resident_for_small_grids(params_128):
+    """backend='pallas' on a 1-device mesh routes small grids through the
+    resident kernel and still matches the oracle."""
+    params, mask = params_128
+    assert pallas_resident.supported(params.ny, params.nx)
+    obst = jnp.asarray(mask)
+    n = 12
+    f_ref, av_ref = run_steps(initial_state(params), obst, params, n)
+    runner = make_runner(params, n, mesh=get_mesh(n_devices=1),
+                         backend="pallas")
+    f, av = runner(initial_state(params), obst)
+    assert np.array_equal(np.asarray(f), np.asarray(f_ref))
+    np.testing.assert_allclose(np.asarray(av), np.asarray(av_ref), rtol=2e-6)
+
+
+def test_supported_predicate():
+    assert pallas_resident.supported(128, 128)
+    assert pallas_resident.supported(256, 256)
+    assert not pallas_resident.supported(1024, 1024)  # too big for VMEM
+    assert not pallas_resident.supported(128, 100)    # lane misaligned
+    assert not pallas_resident.supported(100, 128)    # sublane misaligned

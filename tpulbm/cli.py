@@ -89,8 +89,10 @@ def main(argv=None) -> int:
     from tpulbm.io.obstacles import ObstacleFileError
     from tpulbm.io.params_file import ParamFileError
     from tpulbm.sim.simulation import Simulation
+    from tpulbm.utils.cache import enable_compilation_cache
     from tpulbm.utils.profiling import trace_region
 
+    enable_compilation_cache()
     try:
         mesh = get_mesh(n_devices=args.device_count)
         sim = Simulation.from_files(

@@ -41,6 +41,40 @@ def _select_backend(backend: str) -> str:
     return "jnp"
 
 
+def _make_resident_runner(params: LBMParams, n_steps: int, k_chunk: int = 512):
+    """Single-device runner over the VMEM-resident multi-step kernel."""
+    from tpulbm.ops import pallas_resident
+
+    k = min(n_steps, k_chunk)
+    n_full, rem = divmod(n_steps, k)
+    mk = functools.partial(
+        pallas_resident.make_resident_step,
+        params.ny, params.nx,
+        accel_row=params.accel_row, omega=params.omega,
+        accel_w1=params.accel_w1, accel_w2=params.accel_w2,
+    )
+    chunk_k = mk(k_steps=k)
+    chunk_rem = mk(k_steps=rem) if rem else None
+    free_inv = jnp.float32(params.free_cells_inv)
+
+    @functools.partial(jax.jit, donate_argnums=0)
+    def runner(f, obstacles):
+        obst_f = obstacles.astype(jnp.float32)
+
+        def body(g, _):
+            g2, av = chunk_k(g, obst_f)
+            return g2, av * free_inv
+
+        f_out, avs = jax.lax.scan(body, f, None, length=n_full)
+        av_flat = avs.reshape(-1)
+        if chunk_rem is not None:
+            f_out, av_r = chunk_rem(f_out, obst_f)
+            av_flat = jnp.concatenate([av_flat, av_r * free_inv])
+        return f_out, av_flat
+
+    return runner
+
+
 def make_runner(
     params: LBMParams,
     n_steps: int,
@@ -96,6 +130,14 @@ def make_runner(
     accel_row_global = params.accel_row
     perm_fwd = [(i, (i + 1) % n_dev) for i in range(n_dev)]
     perm_bwd = [(i, (i - 1) % n_dev) for i in range(n_dev)]
+
+    if n_dev == 1 and backend == "pallas":
+        from tpulbm.ops import pallas_resident
+
+        if pallas_resident.supported(params.ny, params.nx):
+            # Small grid: the whole state lives in VMEM across K fused steps
+            # per kernel call — zero HBM traffic per step.
+            return _make_resident_runner(params, n_steps)
 
     if n_dev == 1:
         # Single-device fast path: the ring degenerates to self-wrap, so the

@@ -1,0 +1,175 @@
+"""VMEM-resident multi-step Pallas kernel for small grids.
+
+For grids that fit on-chip (9 * ny * nx * 4 B * 2 buffers within VMEM), the
+entire state ping-pongs between two VMEM scratch buffers while ONE kernel
+call advances K timesteps — zero HBM traffic and zero dispatch overhead per
+step. Periodicity needs no halo machinery at all: both axes wrap with lane /
+sublane rotates over the full grid. This is the small-grid complement of the
+HBM-streaming block kernel (tpulbm.ops.pallas_step); the reference has no
+analog (its 128x128 working set also fit in L2, which is part of why its
+serial-optimized build was memory-friendly — SURVEY.md section 6).
+
+Single-device only (the grid is global here); the sharded runner keeps using
+the block kernel.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from tpulbm.core.lattice import CX, CY, NSPEEDS
+from tpulbm.core import physics
+
+# Two (9, ny, nx) f32 buffers + the input/output pipeline must fit in ~16 MB.
+_MAX_CELLS = 160 * 1024
+
+
+def supported(ny: int, nx: int) -> bool:
+    return (
+        nx % 128 == 0
+        and ny % 8 == 0
+        and ny * nx <= _MAX_CELLS
+        and ny >= 8
+    )
+
+
+def _kernel(
+    f_ref,       # (9, ny, nx) VMEM input: state at the chunk start
+    obst_ref,    # (ny, nx) VMEM f32 mask (1.0 = blocked)
+    out_ref,     # (9, ny, nx) VMEM output: state after K steps
+    av_ref,      # (K, 1) SMEM output: per-step sum of |u| over free cells
+    buf,         # (2, 9, ny, nx) VMEM scratch: ping-pong state
+    *,
+    ny: int,
+    nx: int,
+    accel_row: int,
+    omega: float,
+    w1: float,
+    w2: float,
+):
+    t = pl.program_id(0)
+    k_steps = pl.num_programs(0)
+    p = jax.lax.rem(t, 2)
+
+    w1f = np.float32(w1)
+    w2f = np.float32(w2)
+    zero = np.float32(0.0)
+
+    # Source state: the input ref on the first step, else the ping buffer.
+    src = [
+        jnp.where(t == 0, f_ref[k], buf[p, k]) for k in range(NSPEEDS)
+    ]
+
+    # Inflow acceleration on the fixed global row (d2q9-bgk.c:442-478).
+    row_ids = jax.lax.broadcasted_iota(jnp.int32, (ny, nx), 0)
+    on_row = row_ids == accel_row
+    free = obst_ref[:] == zero
+    m = (
+        on_row
+        & free
+        & (src[3] - w1f > zero)
+        & (src[6] - w2f > zero)
+        & (src[7] - w2f > zero)
+    )
+    dw1 = jnp.where(m, w1f, zero)
+    dw2 = jnp.where(m, w2f, zero)
+    src = [
+        src[0],
+        src[1] + dw1,
+        src[2],
+        src[3] - dw1,
+        src[4],
+        src[5] + dw2,
+        src[6] - dw2,
+        src[7] - dw2,
+        src[8] + dw2,
+    ]
+
+    # Pull-streaming: both axes periodic via full-grid rotates
+    # (d2q9-bgk.c:520-540 with the halo rows replaced by the torus wrap).
+    tpull = []
+    for k in range(NSPEEDS):
+        v = src[k]
+        if CY[k] != 0:
+            v = pltpu.roll(v, CY[k] % ny, 0)
+        if CX[k] != 0:
+            v = pltpu.roll(v, CX[k] % nx, 1)
+        tpull.append(v)
+
+    blocked = obst_ref[:] != zero
+    out, speed = physics.collide(tpull, blocked, omega)
+
+    q = jax.lax.rem(t + 1, 2)
+    for k in range(NSPEEDS):
+        buf[q, k] = out[k]
+    av_ref[t, 0] = jnp.sum(speed, dtype=jnp.float32)
+
+    @pl.when(t == k_steps - 1)
+    def _():
+        for k in range(NSPEEDS):
+            out_ref[k] = buf[q, k]
+
+
+def make_resident_step(
+    ny: int,
+    nx: int,
+    k_steps: int,
+    accel_row: int,
+    omega: float,
+    accel_w1: float,
+    accel_w2: float,
+    interpret: Optional[bool] = None,
+):
+    """Returns ``chunk(f, obst_f32) -> (f', av_sums[k_steps])`` advancing
+    k_steps timesteps in one kernel call."""
+    if not supported(ny, nx):
+        raise ValueError(f"resident kernel unsupported for grid ({ny}, {nx})")
+    if interpret is None:
+        interpret = jax.devices()[0].platform == "cpu"
+
+    kernel = functools.partial(
+        _kernel, ny=ny, nx=nx, accel_row=int(accel_row),
+        omega=float(omega), w1=float(accel_w1), w2=float(accel_w2),
+    )
+
+    call = pl.pallas_call(
+        kernel,
+        grid=(k_steps,),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((NSPEEDS, ny, nx), jnp.float32),
+            jax.ShapeDtypeStruct((k_steps, 1), jnp.float32),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((2, NSPEEDS, ny, nx), jnp.float32),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary",),
+        ),
+        cost_estimate=pl.CostEstimate(
+            flops=85 * ny * nx * k_steps,
+            bytes_accessed=2 * NSPEEDS * ny * nx * 4,
+            transcendentals=2 * ny * nx * k_steps,
+        ),
+        interpret=interpret,
+    )
+
+    def chunk(f, obst_f32):
+        f_out, av = call(f, obst_f32)
+        return f_out, av[:, 0]
+
+    return chunk
