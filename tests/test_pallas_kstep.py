@@ -1,0 +1,72 @@
+"""K-step temporal-blocking kernel: differential tests vs the jnp oracle.
+
+Load-bearing cases:
+- the window-exceeds-torus case (single device, win > ny) where the
+  accelerated global row appears TWICE in a window — both copies must be
+  accelerated (caught a real bug: modular row selection);
+- multi-block shards (DMA case analysis incl. clamped inactive cases);
+- K-slab halos over the ppermute ring on 2/8 devices;
+- remainder chunks (n_steps % K != 0)."""
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+import tpulbm.ops.pallas_kstep as pk
+from tpulbm.core.state import initial_state
+from tpulbm.dist.mesh import get_mesh
+from tpulbm.dist.runner import _make_kstep_runner, make_runner
+from tpulbm.ops.step_jnp import run_steps
+
+
+@pytest.mark.parametrize("n_dev,k", [
+    (1, 8), (1, 3), (2, 8), (8, 8), (8, 5),
+])
+def test_kstep_matches_oracle(params_128, n_dev, k):
+    params, mask = params_128
+    obst = jnp.asarray(mask)
+    n = 19  # exercises remainder path for every k
+    f_ref, av_ref = run_steps(initial_state(params), obst, params, n)
+    runner = _make_kstep_runner(params, n, get_mesh(n_devices=n_dev), k)
+    f, av = runner(initial_state(params), obst)
+    assert np.array_equal(np.asarray(f), np.asarray(f_ref))
+    np.testing.assert_allclose(np.asarray(av), np.asarray(av_ref), rtol=2e-5)
+    assert av.shape == (n,)
+
+
+def test_kstep_multiblock_shard(params_128, monkeypatch):
+    """Force several blocks per shard (small BY) to hit every DMA case."""
+    monkeypatch.setattr(pk, "_BLOCK_BUDGET", 24 * 128)  # BY=8 -> win=24
+    params, mask = params_128
+    obst = jnp.asarray(mask)
+    n = 16
+    f_ref, av_ref = run_steps(initial_state(params), obst, params, n)
+    for n_dev in (1, 2):
+        runner = _make_kstep_runner(params, n, get_mesh(n_devices=n_dev), 8)
+        f, av = runner(initial_state(params), obst)
+        assert np.array_equal(np.asarray(f), np.asarray(f_ref)), n_dev
+        np.testing.assert_allclose(np.asarray(av), np.asarray(av_ref),
+                                   rtol=2e-5)
+
+
+def test_runner_prefers_resident_then_kstep(params_128):
+    """Backend selection: small grids -> resident; larger/streamed local
+    shapes -> kstep (verified indirectly by equality either way)."""
+    params, mask = params_128
+    obst = jnp.asarray(mask)
+    n = 10
+    f_ref, av_ref = run_steps(initial_state(params), obst, params, n)
+    # multi-device forces the kstep path (resident is single-device only)
+    runner = make_runner(params, n, mesh=get_mesh(n_devices=4),
+                         backend="pallas")
+    f, av = runner(initial_state(params), obst)
+    assert np.array_equal(np.asarray(f), np.asarray(f_ref))
+    np.testing.assert_allclose(np.asarray(av), np.asarray(av_ref), rtol=2e-5)
+
+
+def test_supported_predicate():
+    assert pk.supported(128, 128, 8)
+    assert pk.supported(1024, 1024, 8)
+    assert not pk.supported(128, 128, 9)   # K bounded by the 8-row margin
+    assert not pk.supported(4, 128, 8)     # shard shorter than the halo slab
+    assert not pk.supported(128, 100, 8)   # lane misaligned

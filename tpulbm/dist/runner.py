@@ -75,6 +75,102 @@ def _make_resident_runner(params: LBMParams, n_steps: int, k_chunk: int = 512):
     return runner
 
 
+def _make_kstep_runner(
+    params: LBMParams,
+    n_steps: int,
+    mesh: Mesh,
+    k: int,
+    axis_name: str = AXIS,
+):
+    """Runner over the K-step temporal-blocking kernel: K fused timesteps per
+    HBM pass, halo slabs of K rows exchanged once per K steps."""
+    from tpulbm.ops import pallas_kstep
+
+    n_dev = mesh.devices.size
+    h = params.ny // n_dev
+    n_outer, rem = divmod(n_steps, k)
+    mk = functools.partial(
+        pallas_kstep.make_kstep,
+        h, params.nx, ny_global=params.ny, omega=params.omega,
+        accel_w1=params.accel_w1, accel_w2=params.accel_w2,
+    )
+    prepare, chunk_k = mk(k_steps=k)
+    chunk_r = mk(k_steps=rem)[1] if rem else None
+    free_inv = jnp.float32(params.free_cells_inv)
+    accel_glob = params.accel_row
+
+    def run_local(f, obst_bool, shard_off, slab, psl):
+        """slab(x, w): the w-row halo slabs (lo, hi) for array x."""
+        scal = jnp.stack([jnp.int32(accel_glob), shard_off]).reshape(1, 2)
+        obst_f = obst_bool.astype(jnp.float32)
+
+        def aux_for(width):
+            olo, ohi = slab(obst_f, width)
+            return (obst_f, olo, ohi)
+
+        aux_k = aux_for(k)
+
+        def body(g, _):
+            hlo, hhi = psl(g, k)
+            g2, av = chunk_k(g, hlo, hhi, aux_k, scal)
+            return g2, av * free_inv
+
+        f_out, avs = jax.lax.scan(body, f, None, length=n_outer)
+        av = avs.reshape(-1)
+        if chunk_r is not None:
+            hlo, hhi = psl(f_out, rem)
+            f_out, av_r = chunk_r(f_out, hlo, hhi, aux_for(rem), scal)
+            av = jnp.concatenate([av, av_r * free_inv])
+        return f_out, av
+
+    if n_dev == 1:
+        def self_slab2(x, w):
+            return x[-w:], x[:w]
+
+        def self_slab3(g, w):
+            return g[:, -w:, :], g[:, :w, :]
+
+        @functools.partial(jax.jit, donate_argnums=0)
+        def runner_single(f, obstacles):
+            return run_local(f, obstacles, jnp.int32(0), self_slab2, self_slab3)
+
+        return runner_single
+
+    perm_fwd = [(i, (i + 1) % n_dev) for i in range(n_dev)]
+    perm_bwd = [(i, (i - 1) % n_dev) for i in range(n_dev)]
+
+    def ring_slab2(x, w):
+        lo = jax.lax.ppermute(x[-w:], axis_name, perm_fwd)
+        hi = jax.lax.ppermute(x[:w], axis_name, perm_bwd)
+        return lo, hi
+
+    def ring_slab3(g, w):
+        lo = jax.lax.ppermute(g[:, -w:, :], axis_name, perm_fwd)
+        hi = jax.lax.ppermute(g[:, :w, :], axis_name, perm_bwd)
+        return lo, hi
+
+    def body(f_loc, obst_loc):
+        d = jax.lax.axis_index(axis_name)
+        f_out, av = run_local(
+            f_loc, obst_loc, (d * h).astype(jnp.int32), ring_slab2, ring_slab3
+        )
+        return f_out, jax.lax.psum(av, axis_name)
+
+    sharded = jax.shard_map(
+        body,
+        mesh=mesh,
+        in_specs=(P(None, axis_name, None), P(axis_name, None)),
+        out_specs=(P(None, axis_name, None), P()),
+        check_vma=False,
+    )
+
+    @functools.partial(jax.jit, donate_argnums=0)
+    def runner(f, obstacles):
+        return sharded(f, obstacles)
+
+    return runner
+
+
 def make_runner(
     params: LBMParams,
     n_steps: int,
@@ -95,8 +191,15 @@ def make_runner(
     requested = backend
     backend = _select_backend(backend)
     if backend == "pallas":
-        from tpulbm.ops import pallas_step
+        from tpulbm.ops import pallas_kstep, pallas_resident, pallas_step
 
+        if n_dev == 1 and pallas_resident.supported(params.ny, params.nx):
+            # Small grid: the whole state lives in VMEM across K fused steps
+            # per kernel call — zero HBM traffic per step.
+            return _make_resident_runner(params, n_steps)
+        k = min(pallas_kstep.MAX_K, n_steps)
+        if pallas_kstep.supported(rows_local, params.nx, k):
+            return _make_kstep_runner(params, n_steps, mesh, k, axis_name)
         if not pallas_step.supported(rows_local, params.nx):
             if requested == "pallas":
                 raise ValueError(
@@ -130,14 +233,6 @@ def make_runner(
     accel_row_global = params.accel_row
     perm_fwd = [(i, (i + 1) % n_dev) for i in range(n_dev)]
     perm_bwd = [(i, (i - 1) % n_dev) for i in range(n_dev)]
-
-    if n_dev == 1 and backend == "pallas":
-        from tpulbm.ops import pallas_resident
-
-        if pallas_resident.supported(params.ny, params.nx):
-            # Small grid: the whole state lives in VMEM across K fused steps
-            # per kernel call — zero HBM traffic per step.
-            return _make_resident_runner(params, n_steps)
 
     if n_dev == 1:
         # Single-device fast path: the ring degenerates to self-wrap, so the
