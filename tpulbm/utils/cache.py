@@ -1,8 +1,10 @@
-"""Persistent XLA compilation cache.
+"""Persistent XLA compilation cache (opt-in).
 
-The remote TPU compile service costs seconds per executable; caching compiled
-programs across processes makes repeat CLI/bench runs start in milliseconds.
-Opt out with TPULBM_NO_COMPILE_CACHE=1.
+Measured on the tunneled TPU platform: enabling the cache makes runs *slower*
+(66 s vs 5 s on the 256x256 deck — executable serialization stalls against
+the remote-compile service), so it is OFF unless TPULBM_COMPILE_CACHE points
+at a directory. Kept because on standard TPU VMs the cache saves seconds of
+compile per run.
 """
 
 from __future__ import annotations
@@ -13,13 +15,12 @@ import os
 def enable_compilation_cache(path: str | None = None) -> None:
     if os.environ.get("TPULBM_NO_COMPILE_CACHE"):
         return
+    if path is None:
+        path = os.environ.get("TPULBM_COMPILE_CACHE")
+        if path is None:
+            return  # opt-in only; see module docstring
     import jax
 
-    if path is None:
-        path = os.environ.get(
-            "TPULBM_COMPILE_CACHE",
-            os.path.join(os.path.expanduser("~"), ".cache", "tpulbm", "xla"),
-        )
     try:
         os.makedirs(path, exist_ok=True)
         jax.config.update("jax_compilation_cache_dir", path)
