@@ -11,7 +11,8 @@ all: native
 
 # Build the native IO runtime explicitly (it also builds lazily on demand).
 native:
-	g++ -O2 -std=c++17 -shared -fPIC native/io_native.cpp -o native/build/libtpulbm_io.so 2>/dev/null || mkdir -p native/build && g++ -O2 -std=c++17 -shared -fPIC native/io_native.cpp -o native/build/libtpulbm_io.so
+	mkdir -p native/build
+	g++ -O2 -std=c++17 -shared -fPIC native/io_native.cpp -o native/build/libtpulbm_io.so
 
 test:
 	$(PY) -m pytest tests/ -q

@@ -9,6 +9,34 @@
 #include <cstring>
 #include <cerrno>
 
+#include <memory>
+
+namespace {
+// Large per-stream stdio buffer (heap-allocated so concurrent calls from
+// multiple Python threads — ctypes releases the GIL — don't share state).
+struct BufferedFile {
+  FILE* fp = nullptr;
+  std::unique_ptr<char[]> buf;
+  explicit BufferedFile(const char* path, size_t bufsize) {
+    fp = fopen(path, "w");
+    if (fp) {
+      buf.reset(new char[bufsize]);
+      setvbuf(fp, buf.get(), _IOFBF, bufsize);
+    }
+  }
+  // Returns nonzero on failure; buffer must outlive the stream, so close
+  // before the destructor frees it.
+  int close() {
+    int rc = fp ? fclose(fp) : 1;
+    fp = nullptr;
+    return rc;
+  }
+  ~BufferedFile() {
+    if (fp) fclose(fp);
+  }
+};
+}  // namespace
+
 extern "C" {
 
 // Writes final_state.dat: "%d %d %.12E %.12E %.12E %.12E %d\n" per cell,
@@ -18,39 +46,33 @@ int tpulbm_write_final_state(const char* path, int nx, int ny,
                              const float* u_x, const float* u_y,
                              const float* u, const float* pressure,
                              const int* obstacles) {
-  FILE* fp = fopen(path, "w");
-  if (!fp) return 1;
-  // ~16 MB buffered stdio keeps syscall count low for million-line outputs.
-  static char iobuf[1 << 22];
-  setvbuf(fp, iobuf, _IOFBF, sizeof(iobuf));
+  // 4 MB buffered stdio keeps syscall count low for million-line outputs.
+  BufferedFile out(path, 1 << 22);
+  if (!out.fp) return 1;
   for (int yy = 0; yy < ny; ++yy) {
     const long row = (long)yy * nx;
     for (int xx = 0; xx < nx; ++xx) {
       const long i = row + xx;
-      if (fprintf(fp, "%d %d %.12E %.12E %.12E %.12E %d\n", xx, yy,
+      if (fprintf(out.fp, "%d %d %.12E %.12E %.12E %.12E %d\n", xx, yy,
                   (double)u_x[i], (double)u_y[i], (double)u[i],
                   (double)pressure[i], obstacles[i]) < 0) {
-        fclose(fp);
         return 1;
       }
     }
   }
-  return fclose(fp) ? 1 : 0;
+  return out.close() ? 1 : 0;
 }
 
 // Writes av_vels.dat: "%d:\t%.12E\n" per step (d2q9-bgk.c:1136).
 int tpulbm_write_av_vels(const char* path, int n, const float* av_vels) {
-  FILE* fp = fopen(path, "w");
-  if (!fp) return 1;
-  static char iobuf[1 << 20];
-  setvbuf(fp, iobuf, _IOFBF, sizeof(iobuf));
+  BufferedFile out(path, 1 << 20);
+  if (!out.fp) return 1;
   for (int i = 0; i < n; ++i) {
-    if (fprintf(fp, "%d:\t%.12E\n", i, (double)av_vels[i]) < 0) {
-      fclose(fp);
+    if (fprintf(out.fp, "%d:\t%.12E\n", i, (double)av_vels[i]) < 0) {
       return 1;
     }
   }
-  return fclose(fp) ? 1 : 0;
+  return out.close() ? 1 : 0;
 }
 
 // Parses the sparse "x y 1" obstacle list into a dense int32 grid; returns

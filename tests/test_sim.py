@@ -140,3 +140,33 @@ def test_cli_debug_flag(tmp_path, capsys):
     vals = [float(x) for x in re.findall(r"tot density: (\S+)", out)]
     assert vals and all(abs(v - 0.1 * 128 * 128) / (0.1 * 128 * 128) < 1e-4
                         for v in vals)
+
+
+def test_run_overrun_and_checkpoint_guards(tmp_path):
+    """Guards from review: overrunning maxIters and checkpoint_every without
+    a directory raise before any compute is wasted."""
+    import pytest
+    from tpulbm.dist.mesh import get_mesh
+
+    sim = Simulation.from_files(PARAMS, OBST, mesh=get_mesh(n_devices=1),
+                                backend="jnp")
+    with pytest.raises(ValueError, match="maxIters"):
+        sim.run(n_steps=40001)
+    with pytest.raises(ValueError, match="checkpoint_dir"):
+        sim.run(n_steps=1, checkpoint_every=1)
+
+
+def test_checkpoint_params_mismatch_rejected(tmp_path):
+    import dataclasses
+
+    import pytest
+
+    mesh = get_mesh(n_devices=1)
+    a = Simulation.from_files(PARAMS, OBST, mesh=mesh, backend="jnp")
+    a.run(n_steps=5)
+    a.save_checkpoint(tmp_path)
+
+    b = Simulation.from_files(PARAMS, OBST, mesh=mesh, backend="jnp")
+    b.params = dataclasses.replace(b.params, omega=1.4)
+    with pytest.raises(ValueError, match="omega"):
+        b.restore_checkpoint(tmp_path)

@@ -114,14 +114,18 @@ def main(argv=None) -> int:
             return die(f"cannot resume: {e}")
 
     tic = time.time()
-    with trace_region("mainloop", args.profile_dir):
-        result = sim.run(
-            chunk=args.chunk,
-            checkpoint_every=args.checkpoint_every,
-            checkpoint_dir=args.checkpoint_dir,
-            progress=args.progress,
-            debug=args.debug,
-        )
+    try:
+        with trace_region("mainloop", args.profile_dir):
+            result = sim.run(
+                chunk=args.chunk,
+                checkpoint_every=args.checkpoint_every,
+                checkpoint_dir=args.checkpoint_dir,
+                progress=args.progress,
+                debug=args.debug,
+            )
+    except ValueError as e:
+        # e.g. backend/shape mismatches surfaced lazily by make_runner
+        return die(str(e))
     toc = time.time()
     ru = resource.getrusage(resource.RUSAGE_SELF)
 

@@ -16,11 +16,17 @@ import jax.numpy as jnp
 from tpulbm.core.params import LBMParams
 
 
-def velocity_field(f: jnp.ndarray):
-    """(u_x, u_y, |u|) with u = m / rho; not masked by obstacles."""
+def moments(f: jnp.ndarray):
+    """(density, momentum_x, momentum_y) per cell (d2q9-bgk.c:723-746)."""
     dens = jnp.sum(f, axis=0)
     m_x = f[1] + f[5] + f[8] - (f[3] + f[6] + f[7])
     m_y = f[2] + f[5] + f[6] - (f[4] + f[7] + f[8])
+    return dens, m_x, m_y
+
+
+def velocity_field(f: jnp.ndarray):
+    """(u_x, u_y, |u|) with u = m / rho; not masked by obstacles."""
+    dens, m_x, m_y = moments(f)
     u_x = m_x / dens
     u_y = m_y / dens
     return u_x, u_y, jnp.sqrt(u_x * u_x + u_y * u_y)
@@ -55,9 +61,7 @@ def output_fields(f: jnp.ndarray, obstacles: jnp.ndarray, density):
     nine-channel state keeps host readback under half the bytes."""
     zero = jnp.float32(0.0)
     c_sq = jnp.float32(1.0) / jnp.float32(3.0)
-    dens = jnp.sum(f, axis=0)
-    m_x = f[1] + f[5] + f[8] - (f[3] + f[6] + f[7])
-    m_y = f[2] + f[5] + f[6] - (f[4] + f[7] + f[8])
+    dens, m_x, m_y = moments(f)
     u_x = jnp.where(obstacles, zero, m_x / dens)
     u_y = jnp.where(obstacles, zero, m_y / dens)
     u = jnp.sqrt(u_x * u_x + u_y * u_y)

@@ -5,9 +5,10 @@ The obstacle file is a sparse list of ``x y 1`` lines marking blocked cells
 True = blocked) and the free-cell count; duplicate entries count once
 (d2q9-bgk.c:945-947).
 
-Parsing uses numpy's C tokenizer (``np.loadtxt``-free fast path via
-``fromstring``) rather than a Python loop; the optional native C++ parser in
-tpulbm.io.native is used for very large files when available.
+Parsing uses numpy's C tokenizer rather than a Python loop; files over
+``_NATIVE_THRESHOLD`` bytes go through the native C++ parser
+(native/io_native.cpp) when the toolchain is available. Both paths are
+differential-tested against each other.
 """
 
 from __future__ import annotations
@@ -16,12 +17,24 @@ import os
 
 import numpy as np
 
+_NATIVE_THRESHOLD = 1 << 20  # 1 MiB
+
 
 class ObstacleFileError(ValueError):
     pass
 
 
 def read_obstacles(path: str | os.PathLike, nx: int, ny: int):
+    try:
+        use_native = os.path.getsize(path) > _NATIVE_THRESHOLD
+    except OSError:
+        use_native = False
+    if use_native:
+        from tpulbm.io import native
+
+        result = native.read_obstacles(str(path), nx, ny)
+        if result is not None:
+            return result
     with open(path, "rb") as fp:
         raw = fp.read()
     data = np.array(raw.split(), dtype=np.int64)

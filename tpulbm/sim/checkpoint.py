@@ -61,9 +61,18 @@ def restore(path_or_dir, params: LBMParams) -> Tuple[int, np.ndarray, np.ndarray
         f = z["f"]
         av_vels = z["av_vels"]
         saved = json.loads(str(z["params"]))
-    if (saved["nx"], saved["ny"]) != (params.nx, params.ny):
-        raise ValueError(
-            f"checkpoint grid {saved['nx']}x{saved['ny']} does not match "
-            f"{params.nx}x{params.ny}"
+    current = dataclasses.asdict(params)
+    mismatched = {
+        k: (saved[k], current[k])
+        for k in saved
+        # free_cells_inv depends on the obstacle file, checked via the grid;
+        # max_iters may legitimately be overridden between sessions.
+        if k not in ("free_cells_inv", "max_iters") and saved[k] != current[k]
+    }
+    if mismatched:
+        detail = ", ".join(
+            f"{k}: checkpoint={a!r} vs current={b!r}"
+            for k, (a, b) in sorted(mismatched.items())
         )
+        raise ValueError(f"checkpoint params do not match the deck ({detail})")
     return step, f, av_vels

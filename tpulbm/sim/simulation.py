@@ -96,9 +96,15 @@ class Simulation:
     ) -> SimulationResult:
         """Advance ``n_steps`` (default: the deck's maxIters minus steps
         already taken), returning the accumulated result."""
-        total = (
-            self.params.max_iters - self.step_count if n_steps is None else n_steps
-        )
+        remaining = self.params.max_iters - self.step_count
+        total = remaining if n_steps is None else n_steps
+        if total > remaining:
+            raise ValueError(
+                f"run of {total} steps would exceed the deck's maxIters="
+                f"{self.params.max_iters} (already at step {self.step_count})"
+            )
+        if checkpoint_every and not checkpoint_dir:
+            raise ValueError("checkpoint_every requires checkpoint_dir")
         if chunk is None:
             chunk = total if checkpoint_every is None else checkpoint_every
         chunk = max(1, min(chunk, total))

@@ -13,12 +13,10 @@ import os
 
 
 def enable_compilation_cache(path: str | None = None) -> None:
-    if os.environ.get("TPULBM_NO_COMPILE_CACHE"):
-        return
     if path is None:
         path = os.environ.get("TPULBM_COMPILE_CACHE")
-        if path is None:
-            return  # opt-in only; see module docstring
+    if not path:
+        return  # opt-in only; see module docstring
     import jax
 
     try:
