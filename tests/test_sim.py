@@ -170,3 +170,17 @@ def test_checkpoint_params_mismatch_rejected(tmp_path):
     b.params = dataclasses.replace(b.params, omega=1.4)
     with pytest.raises(ValueError, match="omega"):
         b.restore_checkpoint(tmp_path)
+
+
+def test_divergence_detection():
+    """Unstable omega must fail loudly with a FloatingPointError, not emit
+    NaN output files."""
+    import dataclasses
+
+    import pytest
+
+    sim = Simulation.from_files(PARAMS, OBST, mesh=get_mesh(n_devices=1),
+                                backend="jnp")
+    sim.params = dataclasses.replace(sim.params, omega=2.5)  # unstable
+    with pytest.raises(FloatingPointError, match="diverged"):
+        sim.run(n_steps=3000, chunk=1000)

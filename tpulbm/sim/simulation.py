@@ -115,6 +115,17 @@ class Simulation:
             runner = self._runner(n)
             self.f, av = runner(self.f, self.obstacles)
             av_np = np.asarray(av)
+            if not np.isfinite(av_np[-1]):
+                # Divergence check — the runtime equivalent of the
+                # reference's disabled feenableexcept FP traps
+                # (d2q9-bgk.c:60,195). BGK goes unstable for omega near 2
+                # or too-strong forcing.
+                bad = int(np.argmax(~np.isfinite(av_np)))
+                raise FloatingPointError(
+                    f"simulation diverged (non-finite average velocity at "
+                    f"step {self.step_count + bad}); check omega "
+                    f"({self.params.omega}) and accel ({self.params.accel})"
+                )
             lo = self.step_count
             self.av_vels[lo : lo + n] = av_np
             self.step_count += n
