@@ -1,0 +1,51 @@
+"""2-D tiled K-step kernel: differential tests vs the jnp oracle.
+
+Exercises multiple column tiles (the modular x-wrap DMA offsets), shard
+halos over the ring, and the remainder-chunk path."""
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+import tpulbm.ops.pallas_kstep2d as pk2
+from tpulbm.core.params import LBMParams
+from tpulbm.core.state import initial_state
+from tpulbm.dist.mesh import get_mesh
+from tpulbm.dist.runner import _make_kstep_runner
+from tpulbm.ops.step_jnp import run_steps
+
+
+@pytest.fixture()
+def multi_tile_case(monkeypatch):
+    # Small budget -> several column tiles on a 256-wide grid.
+    monkeypatch.setattr(pk2, "_WINDOW_BUDGET", (16 + 16) * (128 + 256))
+    ny = nx = 256
+    p = LBMParams(nx=nx, ny=ny, max_iters=1, reynolds_dim=10,
+                  density=0.1, accel=0.005, omega=1.85)
+    rng = np.random.RandomState(0)
+    mask = rng.rand(ny, nx) < 0.1
+    p = p.with_free_cells(ny * nx - int(mask.sum()))
+    return p, jnp.asarray(mask)
+
+
+@pytest.mark.parametrize("n_dev,k", [(1, 8), (2, 8), (4, 5)])
+def test_kstep2d_matches_oracle(multi_tile_case, n_dev, k):
+    params, obst = multi_tile_case
+    assert pk2.pick_tile(params.ny // n_dev, params.nx)[1] < params.nx, \
+        "fixture must force multiple column tiles"
+    n = 19
+    f_ref, av_ref = run_steps(initial_state(params), obst, params, n)
+    runner = _make_kstep_runner(params, n, get_mesh(n_devices=n_dev), k,
+                                maker=pk2.make_kstep2d)
+    f, av = runner(initial_state(params), obst)
+    assert np.array_equal(np.asarray(f), np.asarray(f_ref))
+    np.testing.assert_allclose(np.asarray(av), np.asarray(av_ref), rtol=2e-5)
+
+
+def test_supported_and_tile():
+    assert pk2.supported(4096, 4096, 8)
+    assert pk2.pick_tile(4096, 4096) is not None
+    assert not pk2.supported(4096, 100, 8)
+    assert not pk2.supported(4096, 4096, 9)
+    by, bx = pk2.pick_tile(4096, 4096)
+    assert 4096 % by == 0 and 4096 % bx == 0 and bx % 128 == 0

@@ -81,16 +81,20 @@ def _make_kstep_runner(
     mesh: Mesh,
     k: int,
     axis_name: str = AXIS,
+    maker=None,
 ):
-    """Runner over the K-step temporal-blocking kernel: K fused timesteps per
-    HBM pass, halo slabs of K rows exchanged once per K steps."""
+    """Runner over a K-step temporal-blocking kernel (1-D row blocks, or 2-D
+    row-x-column tiles for wide grids): K fused timesteps per HBM pass, halo
+    slabs of K rows exchanged once per K steps."""
     from tpulbm.ops import pallas_kstep
 
+    if maker is None:
+        maker = pallas_kstep.make_kstep
     n_dev = mesh.devices.size
     h = params.ny // n_dev
     n_outer, rem = divmod(n_steps, k)
     mk = functools.partial(
-        pallas_kstep.make_kstep,
+        maker,
         h, params.nx, ny_global=params.ny, omega=params.omega,
         accel_w1=params.accel_w1, accel_w2=params.accel_w2,
     )
@@ -200,6 +204,15 @@ def make_runner(
         k = min(pallas_kstep.MAX_K, n_steps)
         if pallas_kstep.supported(rows_local, params.nx, k):
             return _make_kstep_runner(params, n_steps, mesh, k, axis_name)
+        from tpulbm.ops import pallas_kstep2d
+
+        if pallas_kstep2d.supported(rows_local, params.nx, k):
+            # Wide grids: full rows no longer fit the VMEM window; tile both
+            # axes (the x wrap is a modular DMA offset, x is never sharded).
+            return _make_kstep_runner(
+                params, n_steps, mesh, k, axis_name,
+                maker=pallas_kstep2d.make_kstep2d,
+            )
         if not pallas_step.supported(rows_local, params.nx):
             if requested == "pallas":
                 raise ValueError(

@@ -1,0 +1,355 @@
+"""2-D tiled K-step temporal-blocking kernel for wide grids.
+
+The 1-D K-step kernel (pallas_kstep.py) keeps full rows in VMEM, which caps
+the row-block at BY=8 once nx reaches 4096 and leaves the kernel bound by
+per-program overhead. This variant tiles BOTH axes: each program owns a
+(BY, BX) tile and steps a (BY+16, BX+256) window K (<= 8) times in VMEM.
+
+Margins: 8 rows (Mosaic sublane alignment) and 128 columns (lane alignment).
+Since x is never sharded, the column margins — including the periodic wrap at
+the first/last column tiles — are plain DMAs at modular source offsets
+(always 128-aligned, always in range), with no conditional cases at all; the
+row dimension keeps the 1-D kernel's shard-halo cases. Window-edge garbage
+propagates one cell per step in each axis, so K <= 8 steps never contaminate
+the owned tile. Per-step |u| sums cover owned cells only.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from tpulbm.core.lattice import CX, CY, NSPEEDS
+from tpulbm.core import physics
+
+_MY = 8     # row margin
+_MX = 128   # column margin
+MAX_K = _MY
+# Window footprint target (f32 elements) for one (WY, WX) plane.
+_WINDOW_BUDGET = 40 * 1024
+
+
+def pick_tile(h: int, nx: int) -> Optional[Tuple[int, int]]:
+    """(BY, BX) maximizing owned-tile area within the window budget."""
+    best = None
+    best_area = 0
+    for by in range(8, min(h, 256) + 1, 8):
+        if h % by:
+            continue
+        for bx in range(128, min(nx, 2048) + 1, 128):
+            if nx % bx:
+                continue
+            if (by + 2 * _MY) * (bx + 2 * _MX) > _WINDOW_BUDGET:
+                continue
+            if by * bx > best_area:
+                best_area = by * bx
+                best = (by, bx)
+    return best
+
+
+def supported(h: int, nx: int, k: int) -> bool:
+    return (
+        1 <= k <= MAX_K
+        and nx % 128 == 0
+        and nx >= 2 * _MX  # wrap margins must not overlap themselves badly
+        and h >= k
+        and pick_tile(h, nx) is not None
+    )
+
+
+def _kernel(
+    f_ref,        # (9, H, nx) HBM
+    lo_ref,       # (9, K, nx) VMEM: the K global rows below the shard
+    hi_ref,       # (9, K, nx) VMEM: the K global rows above the shard
+    obst_ref,     # (H, nx) HBM float32 mask
+    olo_ref,      # (K, nx) VMEM
+    ohi_ref,      # (K, nx) VMEM
+    scal_ref,     # (1, 2) SMEM int32: [global accel row, shard row offset]
+    out_ref,      # (9, BY, BX) VMEM block
+    av_ref,       # (K, 1) SMEM
+    fbuf,         # (2, 9, WY, WX) VMEM
+    obuf,         # (2, WY, WX) VMEM
+    sem_f, sem_o,  # DMA semaphores (2,)
+    acc,          # (K, 1) SMEM
+    *,
+    by: int,
+    bx: int,
+    nx: int,
+    h: int,
+    k_steps: int,
+    ny_global: int,
+    omega: float,
+    w1: float,
+    w2: float,
+):
+    my, mx = _MY, _MX
+    wy = by + 2 * my
+    wx = bx + 2 * mx
+    i = pl.program_id(0)
+    j = pl.program_id(1)
+    nrow = pl.num_programs(0)
+    ncol = pl.num_programs(1)
+    lin = i * ncol + j
+    slot = jax.lax.rem(lin, 2)
+    nslot = jax.lax.rem(lin + 1, 2)
+    n_static = h // by
+
+    def col_pieces(b_col):
+        # (src_col, dst_col, width); modular offsets handle the x wrap and
+        # are always 128-aligned and in range.
+        left = jax.lax.rem(b_col * bx - mx + nx, nx)
+        main = b_col * bx
+        right = jax.lax.rem((b_col + 1) * bx, nx)
+        return [
+            (pl.multiple_of(left, mx), 0, mx),
+            (pl.multiple_of(main, mx), mx, bx),
+            (pl.multiple_of(right, mx), mx + bx, mx),
+        ]
+
+    def row_cases(b_row):
+        first = b_row == 0
+        last = b_row == n_static - 1
+        cases = []
+        if n_static == 1:
+            cases.append((first & last, 0, by, my))
+        else:
+            cases.append((first, 0, by + my, my))
+            if n_static > 2:
+                cases.append(
+                    ((b_row != 0) & (b_row != n_static - 1),
+                     b_row * by - my, by + 2 * my, 0)
+                )
+            cases.append(((b_row != 0) & last, b_row * by - my, by + my, 0))
+        return cases
+
+    def start_dmas(b_row, b_col, s):
+        pieces = col_pieces(b_col)
+        for pred, src_row, row_sz, dst_row in row_cases(b_row):
+            @pl.when(pred)
+            def _():
+                src_r = pl.multiple_of(
+                    jnp.clip(src_row, 0, h - row_sz), _MY
+                )
+                for src_c, dst_c, w in pieces:
+                    pltpu.make_async_copy(
+                        f_ref.at[:, pl.ds(src_r, row_sz), pl.ds(src_c, w)],
+                        fbuf.at[s, :, pl.ds(dst_row, row_sz), pl.ds(dst_c, w)],
+                        sem_f.at[s],
+                    ).start()
+                    pltpu.make_async_copy(
+                        obst_ref.at[pl.ds(src_r, row_sz), pl.ds(src_c, w)],
+                        obuf.at[s, pl.ds(dst_row, row_sz), pl.ds(dst_c, w)],
+                        sem_o.at[s],
+                    ).start()
+
+    def wait_dmas(b_row, b_col, s):
+        pieces = col_pieces(b_col)
+        for pred, src_row, row_sz, dst_row in row_cases(b_row):
+            @pl.when(pred)
+            def _():
+                src_r = pl.multiple_of(
+                    jnp.clip(src_row, 0, h - row_sz), _MY
+                )
+                for src_c, dst_c, w in pieces:
+                    pltpu.make_async_copy(
+                        f_ref.at[:, pl.ds(src_r, row_sz), pl.ds(src_c, w)],
+                        fbuf.at[s, :, pl.ds(dst_row, row_sz), pl.ds(dst_c, w)],
+                        sem_f.at[s],
+                    ).wait()
+                    pltpu.make_async_copy(
+                        obst_ref.at[pl.ds(src_r, row_sz), pl.ds(src_c, w)],
+                        obuf.at[s, pl.ds(dst_row, row_sz), pl.ds(dst_c, w)],
+                        sem_o.at[s],
+                    ).wait()
+
+    @pl.when(lin == 0)
+    def _():
+        start_dmas(jnp.int32(0), jnp.int32(0), 0)
+
+    @pl.when(lin + 1 < nrow * ncol)
+    def _():
+        nxt = lin + 1
+        start_dmas(nxt // ncol, jax.lax.rem(nxt, ncol), nslot)
+
+    wait_dmas(i, j, slot)
+
+    # -- window assembly ----------------------------------------------------
+    zero = np.float32(0.0)
+    w1f = np.float32(w1)
+    w2f = np.float32(w2)
+    is_first = i == 0
+    is_last = i == n_static - 1
+    row_ids = jax.lax.broadcasted_iota(jnp.int32, (wy, wx), 0)
+
+    def halo_cols(ref, c=None):
+        # (K, WX) column window of a full-width halo plane, with x wrap;
+        # ref slices at 128-aligned dynamic lane offsets.
+        pieces = col_pieces(j)
+        if c is None:
+            parts = [ref[:, pl.ds(src_c, w)] for src_c, _, w in pieces]
+        else:
+            parts = [ref[c, :, pl.ds(src_c, w)] for src_c, _, w in pieces]
+        return jnp.concatenate(parts, axis=1)
+
+    def assemble(buf_plane, lo_plane, hi_plane, c=None):
+        v = buf_plane
+        lo_full = jnp.pad(halo_cols(lo_plane, c),
+                          ((my - k_steps, wy - my), (0, 0)))
+        hi_full = jnp.pad(halo_cols(hi_plane, c),
+                          ((by + my, my - k_steps), (0, 0)))
+        v = jnp.where(
+            is_first & (row_ids < my) & (row_ids >= my - k_steps), lo_full, v
+        )
+        v = jnp.where(
+            is_last & (row_ids >= by + my) & (row_ids < by + my + k_steps),
+            hi_full, v,
+        )
+        return v
+
+    w = [assemble(fbuf[slot, c], lo_ref, hi_ref, c)
+         for c in range(NSPEEDS)]
+    o = assemble(obuf[slot], olo_ref, ohi_ref)
+    blocked = o != zero
+    free = jnp.logical_not(blocked)
+
+    # accel row by global index (modulo ny), as in the 1-D kernel; every
+    # column of that row accelerates, including the wrapped x margins.
+    a_glob = scal_ref[0, 0]
+    shard_off = scal_ref[0, 1]
+    win_start = shard_off + i * by - my
+    a_off = jax.lax.rem(a_glob - win_start + 2 * ny_global, ny_global)
+    accel_sel = jax.lax.rem(row_ids - a_off + 2 * ny_global, ny_global) == 0
+
+    for s in range(k_steps):
+        mask = (
+            accel_sel
+            & free
+            & (w[3] - w1f > zero)
+            & (w[6] - w2f > zero)
+            & (w[7] - w2f > zero)
+        )
+        dw1 = jnp.where(mask, w1f, zero)
+        dw2 = jnp.where(mask, w2f, zero)
+        w = [
+            w[0],
+            w[1] + dw1,
+            w[2],
+            w[3] - dw1,
+            w[4],
+            w[5] + dw2,
+            w[6] - dw2,
+            w[7] - dw2,
+            w[8] + dw2,
+        ]
+        t = []
+        for c in range(NSPEEDS):
+            v = w[c]
+            if CY[c] != 0:
+                v = pltpu.roll(v, CY[c] % wy, 0)
+            if CX[c] != 0:
+                v = pltpu.roll(v, CX[c] % wx, 1)
+            t.append(v)
+        w, speed = physics.collide(t, blocked, omega)
+        part = jnp.sum(speed[my : my + by, mx : mx + bx], dtype=jnp.float32)
+
+        @pl.when(lin == 0)
+        def _(s=s, part=part):
+            acc[s, 0] = part
+
+        @pl.when(lin > 0)
+        def _(s=s, part=part):
+            acc[s, 0] += part
+
+    for c in range(NSPEEDS):
+        out_ref[c] = w[c][my : my + by, mx : mx + bx]
+
+    @pl.when(lin == nrow * ncol - 1)
+    def _():
+        for s in range(k_steps):
+            av_ref[s, 0] = acc[s, 0]
+
+
+def make_kstep2d(
+    h: int,
+    nx: int,
+    k_steps: int,
+    ny_global: int,
+    omega: float,
+    accel_w1: float,
+    accel_w2: float,
+    interpret: Optional[bool] = None,
+):
+    """Same contract as pallas_kstep.make_kstep: returns (prepare, chunk)."""
+    tile = pick_tile(h, nx)
+    if tile is None or not supported(h, nx, k_steps):
+        raise ValueError(
+            f"kstep2d unsupported for local shape ({h}, {nx}), K={k_steps}"
+        )
+    by, bx = tile
+    if interpret is None:
+        interpret = jax.devices()[0].platform == "cpu"
+
+    kernel = functools.partial(
+        _kernel, by=by, bx=bx, nx=nx, h=h, k_steps=k_steps,
+        ny_global=ny_global, omega=float(omega), w1=float(accel_w1),
+        w2=float(accel_w2),
+    )
+
+    call = pl.pallas_call(
+        kernel,
+        grid=(h // by, nx // bx),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.ANY),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.ANY),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((NSPEEDS, by, bx), lambda i, j: (0, i, j),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((NSPEEDS, h, nx), jnp.float32),
+            jax.ShapeDtypeStruct((k_steps, 1), jnp.float32),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((2, NSPEEDS, by + 2 * _MY, bx + 2 * _MX), jnp.float32),
+            pltpu.VMEM((2, by + 2 * _MY, bx + 2 * _MX), jnp.float32),
+            pltpu.SemaphoreType.DMA((2,)),
+            pltpu.SemaphoreType.DMA((2,)),
+            pltpu.SMEM((k_steps, 1), jnp.float32),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary", "arbitrary"),
+        ),
+        cost_estimate=pl.CostEstimate(
+            flops=85 * h * nx * k_steps,
+            bytes_accessed=2 * NSPEEDS * h * nx * 4,
+            transcendentals=2 * h * nx * k_steps,
+        ),
+        interpret=interpret,
+    )
+
+    def prepare(obstacles, olo, ohi):
+        return (
+            obstacles.astype(jnp.float32),
+            olo.astype(jnp.float32),
+            ohi.astype(jnp.float32),
+        )
+
+    def chunk(f, halo_lo, halo_hi, aux, scal):
+        obst_f, olo_f, ohi_f = aux
+        f_out, av = call(f, halo_lo, halo_hi, obst_f, olo_f, ohi_f, scal)
+        return f_out, av[:, 0]
+
+    return prepare, chunk
