@@ -17,8 +17,9 @@ from tpulbm.ops.step_jnp import run_steps
 
 @pytest.fixture()
 def multi_tile_case(monkeypatch):
-    # Small budget -> several column tiles on a 256-wide grid.
-    monkeypatch.setattr(pk2, "_WINDOW_BUDGET", (16 + 16) * (128 + 256))
+    # Budget below (8+16)*(256+256) so a full-width tile is impossible ->
+    # two column tiles of 128, exercising the modular x-wrap DMAs.
+    monkeypatch.setattr(pk2, "_WINDOW_BUDGET", 12000)
     ny = nx = 256
     p = LBMParams(nx=nx, ny=ny, max_iters=1, reynolds_dim=10,
                   density=0.1, accel=0.005, omega=1.85)
