@@ -175,6 +175,86 @@ def _make_kstep_runner(
     return runner
 
 
+def _make_rdma_runner(
+    params: LBMParams,
+    n_steps: int,
+    mesh: Mesh,
+    axis_name: str = AXIS,
+):
+    """Runner over the in-kernel-RDMA K-step kernel (multi-chip path): halo
+    slabs ride ICI via make_async_remote_copy inside the kernel, overlapped
+    with interior compute; no XLA collectives in the step loop (only the
+    one-time obstacle-halo exchange and the final deferred psum)."""
+    from tpulbm.ops import pallas_kstep, pallas_kstep_rdma
+
+    n_dev = mesh.devices.size
+    h = params.ny // n_dev
+    k = pallas_kstep_rdma.MAX_K
+    if not pallas_kstep_rdma.supported(h, params.nx, k, n_dev):
+        raise ValueError(
+            f"rdma backend unsupported for local shape ({h}, {params.nx}) "
+            f"on {n_dev} devices"
+        )
+    n_outer, rem = divmod(n_steps, k)
+    prepare, chunk = pallas_kstep_rdma.make_kstep_rdma(
+        h, params.nx, k, ny_global=params.ny, omega=params.omega,
+        accel_w1=params.accel_w1, accel_w2=params.accel_w2,
+        axis_name=axis_name,
+    )
+    chunk_rem = None
+    if rem:
+        # Remainder steps go through the ppermute-slab kstep kernel.
+        _, chunk_rem = pallas_kstep.make_kstep(
+            h, params.nx, rem, ny_global=params.ny, omega=params.omega,
+            accel_w1=params.accel_w1, accel_w2=params.accel_w2,
+        )
+    free_inv = jnp.float32(params.free_cells_inv)
+    accel_glob = params.accel_row
+    perm_fwd = [(i, (i + 1) % n_dev) for i in range(n_dev)]
+    perm_bwd = [(i, (i - 1) % n_dev) for i in range(n_dev)]
+
+    def body(f_loc, obst_loc):
+        d = jax.lax.axis_index(axis_name)
+        off = (d * h).astype(jnp.int32)
+        obst_f = obst_loc.astype(jnp.float32)
+        olo = jax.lax.ppermute(obst_f[-k:], axis_name, perm_fwd)
+        ohi = jax.lax.ppermute(obst_f[:k], axis_name, perm_bwd)
+        aux = (obst_f, olo, ohi)
+
+        def one(g, par):
+            scal = jnp.stack(
+                [jnp.int32(accel_glob), off, par]
+            ).reshape(1, 3)
+            g2, av = chunk(g, aux, scal)
+            return g2, av * free_inv
+
+        parities = (jnp.arange(n_outer) % 2).astype(jnp.int32)
+        f_out, avs = jax.lax.scan(one, f_loc, parities)
+        av = avs.reshape(-1)
+        if chunk_rem is not None:
+            hlo = jax.lax.ppermute(f_out[:, -rem:, :], axis_name, perm_fwd)
+            hhi = jax.lax.ppermute(f_out[:, :rem, :], axis_name, perm_bwd)
+            scal2 = jnp.stack([jnp.int32(accel_glob), off]).reshape(1, 2)
+            aux_r = (obst_f, olo[-rem:], ohi[:rem])
+            f_out, av_r = chunk_rem(f_out, hlo, hhi, aux_r, scal2)
+            av = jnp.concatenate([av, av_r * free_inv])
+        return f_out, jax.lax.psum(av, axis_name)
+
+    sharded = jax.shard_map(
+        body,
+        mesh=mesh,
+        in_specs=(P(None, axis_name, None), P(axis_name, None)),
+        out_specs=(P(None, axis_name, None), P()),
+        check_vma=False,
+    )
+
+    @functools.partial(jax.jit, donate_argnums=0)
+    def runner(f, obstacles):
+        return sharded(f, obstacles)
+
+    return runner
+
+
 def make_runner(
     params: LBMParams,
     n_steps: int,
@@ -194,6 +274,8 @@ def make_runner(
     rows_local = validate_even_split(params.ny, n_dev)
     requested = backend
     backend = _select_backend(backend)
+    if backend == "pallas-rdma":
+        return _make_rdma_runner(params, n_steps, mesh, axis_name)
     if backend == "pallas":
         from tpulbm.ops import pallas_kstep, pallas_resident, pallas_step
 
