@@ -28,9 +28,10 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--out-dir", default=".", help="output directory")
     p.add_argument(
         "--backend",
-        choices=["auto", "pallas", "jnp"],
+        choices=["auto", "pallas", "pallas-rdma", "jnp"],
         default="auto",
-        help="compute path: fused Pallas kernel, pure-jnp, or auto",
+        help="compute path: fused Pallas kernels (auto-tiered), the "
+             "in-kernel-RDMA multi-chip variant, pure-jnp, or auto",
     )
     p.add_argument(
         "--device-count",
