@@ -6,6 +6,9 @@ Baseline: the reference's best time on this deck is 5.92 s for 20000 steps on
 ``vs_baseline`` is the speedup over that number.
 
 Prints exactly one JSON line on stdout; diagnostics go to stderr.
+``--grid 128x128|128x256|256x256|1024x1024|4096x4096`` benchmarks another
+shipped deck (vs_baseline then uses that deck's reference MLUPS where one
+exists).
 """
 
 import json
@@ -13,6 +16,13 @@ import sys
 import time
 
 BASELINE_MLUPS = 3550.0  # 1024^2 * 20000 / 5.92 s / 1e6
+# Reference best-build times per deck (BASELINE.md): grid -> (seconds, iters)
+REFERENCE_BEST = {
+    "128x128": (0.525, 40000),
+    "128x256": (0.639, 40000),
+    "256x256": (2.705, 80000),
+    "1024x1024": (5.922, 20000),
+}
 
 
 def log(msg):
@@ -34,8 +44,11 @@ def main():
     from tpulbm.io.obstacles import read_obstacles
     from tpulbm.io.params_file import read_params
 
-    deck = "data/input_1024x1024.params"
-    obst_file = "data/obstacles_1024x1024.dat"
+    grid = "1024x1024"
+    if "--grid" in sys.argv:
+        grid = sys.argv[sys.argv.index("--grid") + 1]
+    deck = f"data/input_{grid}.params"
+    obst_file = f"data/obstacles_{grid}.dat"
     params = read_params(deck)
     mask, num_free = read_obstacles(obst_file, params.nx, params.ny)
     params = params.with_free_cells(num_free)
@@ -76,18 +89,24 @@ def main():
         best = min(best, dt)
         log(f"rep {rep}: {dt:.3f} s  av[-1]={tail:.6E}")
 
-    # Sanity: physics must still be right (Reynolds ~3.3763 on this deck).
+    # Sanity: physics must still be right (Reynolds ~3.3763 on the headline
+    # deck); any deck must at least stay finite.
     reynolds = tail * params.reynolds_dim / params.viscosity
-    log(f"reynolds={reynolds:.4f} (reference float build: ~3.3763)")
-    if not (3.2 < reynolds < 3.6):
+    log(f"reynolds={reynolds:.4f}")
+    if grid == "1024x1024" and not (3.2 < reynolds < 3.6):
         log("WARNING: Reynolds number outside expected range — result suspect")
 
     mlups = params.nx * params.ny * n_steps / best / 1e6
+    if grid in REFERENCE_BEST:
+        ref_s, ref_iters = REFERENCE_BEST[grid]
+        ref_mlups = params.nx * params.ny * ref_iters / ref_s / 1e6
+    else:
+        ref_mlups = BASELINE_MLUPS
     print(json.dumps({
-        "metric": f"mlups_1024x1024_{n_steps}steps",
+        "metric": f"mlups_{grid}_{n_steps}steps",
         "value": round(mlups, 1),
         "unit": "MLUPS",
-        "vs_baseline": round(mlups / BASELINE_MLUPS, 3),
+        "vs_baseline": round(mlups / ref_mlups, 3),
     }))
 
 

@@ -3,18 +3,26 @@
 Composes the whole distributed architecture in one ``shard_map`` over a 1-D
 mesh:
 
-- width-1 halo rows move between ring neighbours with ``lax.ppermute``
-  (replacing the persistent MPI requests of d2q9-bgk.c:295-313,326-366); the
-  periodic y-boundary is the ring wrap-around, exactly as the reference's
-  neighbour arithmetic (d2q9-bgk.c:245-247);
+- halo slabs move between ring neighbours — K rows once per K fused steps
+  via ``lax.ppermute`` (or in-kernel RDMA with ``backend='pallas-rdma'``),
+  replacing the persistent per-step MPI requests of
+  d2q9-bgk.c:295-313,326-366; the periodic y-boundary is the ring
+  wrap-around, exactly as the reference's neighbour arithmetic
+  (d2q9-bgk.c:245-247);
 - the per-step average-velocity series accumulates locally inside the scan
   and is reduced with ONE deferred ``psum`` after the loop, mirroring the
-  reference's single post-loop ``MPI_Reduce`` (d2q9-bgk.c:367-374,396);
-- XLA's latency-hiding scheduler overlaps the ppermute with interior compute,
-  the role ``I_MPI_ASYNC_PROGRESS=1`` plays in the reference (env.sh:7).
+  reference's single post-loop ``MPI_Reduce`` (d2q9-bgk.c:367-374,396).
 
-The local compute is either the jnp fallback (ops.step_local) or the fused
-Pallas kernel (ops.pallas_step).
+Backend tiering under ``backend='pallas'`` (auto on TPU):
+
+1. ``ops.pallas_resident`` — small grids, whole state in VMEM, 512 fused
+   steps per kernel call (single device only);
+2. ``ops.pallas_kstep`` — K=8-step temporal blocking over full-width row
+   blocks;
+3. ``ops.pallas_kstep2d`` — same, tiled in both axes for wide grids;
+4. ``ops.pallas_step`` — 1-step streaming fallback;
+5. ``ops.step_local`` — pure-jnp fallback for unsupported shapes
+   (also ``backend='jnp'``, the differential-test oracle).
 """
 
 from __future__ import annotations
