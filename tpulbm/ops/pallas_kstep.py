@@ -34,8 +34,9 @@ import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from tpulbm.core.lattice import CX, CY, NSPEEDS
+from tpulbm.core.lattice import NSPEEDS
 from tpulbm.core import physics
+from tpulbm.ops.window_step import fused_window_steps
 
 _MARGIN = 8  # rows of overlap each side; bounds K at 8
 # Window footprint target: (BY+16) * nx elements, sized for VMEM.
@@ -162,8 +163,6 @@ def _kernel(
 
     # -- assemble the window values -----------------------------------------
     zero = np.float32(0.0)
-    w1f = np.float32(w1)
-    w2f = np.float32(w2)
     is_first = i == 0
     is_last = i == n - 1
     row_ids = jax.lax.broadcasted_iota(jnp.int32, (win, nx), 0)
@@ -187,7 +186,6 @@ def _kernel(
          for c in range(NSPEEDS)]
     o = assemble(obuf[slot], olo_ref[:], ohi_ref[:])
     blocked = o != zero
-    free = jnp.logical_not(blocked)
 
     # Select every window row whose GLOBAL row is the accelerated one —
     # modular, because when the window exceeds the torus (win > ny) the same
@@ -199,43 +197,12 @@ def _kernel(
     a_off = jax.lax.rem(a_glob - win_start + 2 * ny_global, ny_global)
     accel_sel = jax.lax.rem(row_ids - a_off + 2 * ny_global, ny_global) == 0
 
-    # -- K fused steps, constant window shape -------------------------------
-    for s in range(k_steps):
-        # inflow acceleration (d2q9-bgk.c:442-478)
-        mask = (
-            accel_sel
-            & free
-            & (w[3] - w1f > zero)
-            & (w[6] - w2f > zero)
-            & (w[7] - w2f > zero)
-        )
-        dw1 = jnp.where(mask, w1f, zero)
-        dw2 = jnp.where(mask, w2f, zero)
-        w = [
-            w[0],
-            w[1] + dw1,
-            w[2],
-            w[3] - dw1,
-            w[4],
-            w[5] + dw2,
-            w[6] - dw2,
-            w[7] - dw2,
-            w[8] + dw2,
-        ]
-        # pull-streaming: in-window rolls (edge wrap is garbage the margin
-        # absorbs; x wrap is globally correct)
-        t = []
-        for c in range(NSPEEDS):
-            v = w[c]
-            if CY[c] != 0:
-                v = pltpu.roll(v, CY[c] % win, 0)
-            if CX[c] != 0:
-                v = pltpu.roll(v, CX[c] % nx, 1)
-            t.append(v)
-        w, speed = physics.collide(t, blocked, omega)
-        # owned-rows-only per-step reduction (margin never double-counted)
-        part = jnp.sum(speed[m : m + by, :], dtype=jnp.float32)
-
+    # -- K fused steps, constant window shape (see ops.window_step) ---------
+    w, parts = fused_window_steps(
+        w, blocked, accel_sel, k_steps, omega, w1, w2,
+        owned=(slice(m, m + by), slice(None)),
+    )
+    for s, part in enumerate(parts):
         @pl.when(i == 0)
         def _(s=s, part=part):
             acc[s, 0] = part

@@ -25,8 +25,9 @@ import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from tpulbm.core.lattice import CX, CY, NSPEEDS
+from tpulbm.core.lattice import NSPEEDS
 from tpulbm.core import physics
+from tpulbm.ops.window_step import fused_window_steps
 
 _MY = 8     # row margin
 _MX = 128   # column margin
@@ -181,8 +182,6 @@ def _kernel(
 
     # -- window assembly ----------------------------------------------------
     zero = np.float32(0.0)
-    w1f = np.float32(w1)
-    w2f = np.float32(w2)
     is_first = i == 0
     is_last = i == n_static - 1
     row_ids = jax.lax.broadcasted_iota(jnp.int32, (wy, wx), 0)
@@ -216,7 +215,6 @@ def _kernel(
          for c in range(NSPEEDS)]
     o = assemble(obuf[slot], olo_ref, ohi_ref)
     blocked = o != zero
-    free = jnp.logical_not(blocked)
 
     # accel row by global index (modulo ny), as in the 1-D kernel; every
     # column of that row accelerates, including the wrapped x margins.
@@ -226,38 +224,11 @@ def _kernel(
     a_off = jax.lax.rem(a_glob - win_start + 2 * ny_global, ny_global)
     accel_sel = jax.lax.rem(row_ids - a_off + 2 * ny_global, ny_global) == 0
 
-    for s in range(k_steps):
-        mask = (
-            accel_sel
-            & free
-            & (w[3] - w1f > zero)
-            & (w[6] - w2f > zero)
-            & (w[7] - w2f > zero)
-        )
-        dw1 = jnp.where(mask, w1f, zero)
-        dw2 = jnp.where(mask, w2f, zero)
-        w = [
-            w[0],
-            w[1] + dw1,
-            w[2],
-            w[3] - dw1,
-            w[4],
-            w[5] + dw2,
-            w[6] - dw2,
-            w[7] - dw2,
-            w[8] + dw2,
-        ]
-        t = []
-        for c in range(NSPEEDS):
-            v = w[c]
-            if CY[c] != 0:
-                v = pltpu.roll(v, CY[c] % wy, 0)
-            if CX[c] != 0:
-                v = pltpu.roll(v, CX[c] % wx, 1)
-            t.append(v)
-        w, speed = physics.collide(t, blocked, omega)
-        part = jnp.sum(speed[my : my + by, mx : mx + bx], dtype=jnp.float32)
-
+    w, parts = fused_window_steps(
+        w, blocked, accel_sel, k_steps, omega, w1, w2,
+        owned=(slice(my, my + by), slice(mx, mx + bx)),
+    )
+    for s, part in enumerate(parts):
         @pl.when(lin == 0)
         def _(s=s, part=part):
             acc[s, 0] = part

@@ -39,9 +39,10 @@ import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from tpulbm.core.lattice import CX, CY, NSPEEDS
+from tpulbm.core.lattice import NSPEEDS
 from tpulbm.core import physics
 from tpulbm.ops.pallas_kstep import _MARGIN, pick_block_rows
+from tpulbm.ops.window_step import fused_window_steps
 
 MAX_K = _MARGIN
 
@@ -65,8 +66,8 @@ def _kernel(
     scal_ref,     # (1, 3) SMEM int32: [accel row, shard offset, parity]
     out_ref,      # (9, BY, nx) VMEM block (reordered)
     av_ref,       # (K, 1) SMEM
-    fbuf,         # (2, 9, BY, nx) VMEM window DMA slots... see kstep
-    obuf,         # (2, BY+16, nx) VMEM -- wait, see below
+    fbuf,         # (2, 9, BY+16, nx) VMEM window slots
+    obuf,         # (2, BY+16, nx) VMEM
     land_lo,      # (2, 9, 8, nx) VMEM RDMA landing, parity-slotted
     land_hi,      # (2, 9, 8, nx) VMEM
     sem_f, sem_o,            # window DMA semaphores (2,)
@@ -201,8 +202,6 @@ def _kernel(
 
     # -- window assembly ----------------------------------------------------
     zero = np.float32(0.0)
-    w1f = np.float32(w1)
-    w2f = np.float32(w2)
     is_first = i == 0
     is_last = i == n - 1
     row_ids = jax.lax.broadcasted_iota(jnp.int32, (win, nx), 0)
@@ -223,7 +222,6 @@ def _kernel(
     ]
     o = assemble(obuf[slot], olo_ref[:], ohi_ref[:])
     blocked = o != zero
-    free = jnp.logical_not(blocked)
 
     a_glob = scal_ref[0, 0]
     shard_off = scal_ref[0, 1]
@@ -231,31 +229,11 @@ def _kernel(
     a_off = jax.lax.rem(a_glob - win_start + 2 * ny_global, ny_global)
     accel_sel = jax.lax.rem(row_ids - a_off + 2 * ny_global, ny_global) == 0
 
-    for s in range(k_steps):
-        mask = (
-            accel_sel
-            & free
-            & (w[3] - w1f > zero)
-            & (w[6] - w2f > zero)
-            & (w[7] - w2f > zero)
-        )
-        dw1 = jnp.where(mask, w1f, zero)
-        dw2 = jnp.where(mask, w2f, zero)
-        w = [
-            w[0], w[1] + dw1, w[2], w[3] - dw1, w[4],
-            w[5] + dw2, w[6] - dw2, w[7] - dw2, w[8] + dw2,
-        ]
-        t = []
-        for c in range(NSPEEDS):
-            v = w[c]
-            if CY[c] != 0:
-                v = pltpu.roll(v, CY[c] % win, 0)
-            if CX[c] != 0:
-                v = pltpu.roll(v, CX[c] % nx, 1)
-            t.append(v)
-        w, speed = physics.collide(t, blocked, omega)
-        part = jnp.sum(speed[m : m + by, :], dtype=jnp.float32)
-
+    w, parts = fused_window_steps(
+        w, blocked, accel_sel, k_steps, omega, w1, w2,
+        owned=(slice(m, m + by), slice(None)),
+    )
+    for s, part in enumerate(parts):
         @pl.when(p == 0)
         def _(s=s, part=part):
             acc[s, 0] = part

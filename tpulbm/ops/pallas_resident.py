@@ -24,8 +24,9 @@ import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from tpulbm.core.lattice import CX, CY, NSPEEDS
+from tpulbm.core.lattice import NSPEEDS
 from tpulbm.core import physics
+from tpulbm.ops.window_step import fused_window_steps
 
 # Two (9, ny, nx) f32 buffers + the input/output pipeline must fit in ~16 MB.
 _MAX_CELLS = 160 * 1024
@@ -57,9 +58,6 @@ def _kernel(
     t = pl.program_id(0)
     k_steps = pl.num_programs(0)
     p = jax.lax.rem(t, 2)
-
-    w1f = np.float32(w1)
-    w2f = np.float32(w2)
     zero = np.float32(0.0)
 
     # Source state: the input ref on the first step, else the ping buffer.
@@ -67,49 +65,19 @@ def _kernel(
         jnp.where(t == 0, f_ref[k], buf[p, k]) for k in range(NSPEEDS)
     ]
 
-    # Inflow acceleration on the fixed global row (d2q9-bgk.c:442-478).
+    # One fused step over the whole grid: the "window" IS the torus, so the
+    # rotates wrap correctly and every cell is owned (see ops.window_step).
     row_ids = jax.lax.broadcasted_iota(jnp.int32, (ny, nx), 0)
-    on_row = row_ids == accel_row
-    free = obst_ref[:] == zero
-    m = (
-        on_row
-        & free
-        & (src[3] - w1f > zero)
-        & (src[6] - w2f > zero)
-        & (src[7] - w2f > zero)
-    )
-    dw1 = jnp.where(m, w1f, zero)
-    dw2 = jnp.where(m, w2f, zero)
-    src = [
-        src[0],
-        src[1] + dw1,
-        src[2],
-        src[3] - dw1,
-        src[4],
-        src[5] + dw2,
-        src[6] - dw2,
-        src[7] - dw2,
-        src[8] + dw2,
-    ]
-
-    # Pull-streaming: both axes periodic via full-grid rotates
-    # (d2q9-bgk.c:520-540 with the halo rows replaced by the torus wrap).
-    tpull = []
-    for k in range(NSPEEDS):
-        v = src[k]
-        if CY[k] != 0:
-            v = pltpu.roll(v, CY[k] % ny, 0)
-        if CX[k] != 0:
-            v = pltpu.roll(v, CX[k] % nx, 1)
-        tpull.append(v)
-
     blocked = obst_ref[:] != zero
-    out, speed = physics.collide(tpull, blocked, omega)
+    out, parts = fused_window_steps(
+        src, blocked, row_ids == accel_row, 1, omega, w1, w2,
+        owned=(slice(None), slice(None)),
+    )
 
     q = jax.lax.rem(t + 1, 2)
     for k in range(NSPEEDS):
         buf[q, k] = out[k]
-    av_ref[t, 0] = jnp.sum(speed, dtype=jnp.float32)
+    av_ref[t, 0] = parts[0]
 
     @pl.when(t == k_steps - 1)
     def _():
