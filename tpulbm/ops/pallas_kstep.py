@@ -35,7 +35,6 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from tpulbm.core.lattice import NSPEEDS
-from tpulbm.core import physics
 from tpulbm.ops.window_step import fused_window_steps
 
 _MARGIN = 8  # rows of overlap each side; bounds K at 8

@@ -26,7 +26,6 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from tpulbm.core.lattice import NSPEEDS
-from tpulbm.core import physics
 from tpulbm.ops.window_step import fused_window_steps
 
 _MY = 8     # row margin

@@ -40,7 +40,6 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from tpulbm.core.lattice import NSPEEDS
-from tpulbm.core import physics
 from tpulbm.ops.pallas_kstep import _MARGIN, pick_block_rows
 from tpulbm.ops.window_step import fused_window_steps
 

@@ -25,7 +25,6 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from tpulbm.core.lattice import NSPEEDS
-from tpulbm.core import physics
 from tpulbm.ops.window_step import fused_window_steps
 
 # Two (9, ny, nx) f32 buffers + the input/output pipeline must fit in ~16 MB.
