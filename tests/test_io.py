@@ -159,3 +159,40 @@ def test_make_deck_matches_reference_geometry(tmp_path):
     mask, num_free = read_obstacles(opath, 256, 64)
     assert mask[0].all() and mask[-1].all() and mask[:, 0].all()
     assert mask[12, 24] and not mask[12, 30]
+
+
+def test_native_writers_concurrent_threads(tmp_path):
+    """The native writers must be safe from concurrent Python threads
+    (ctypes releases the GIL; buffers are per-stream heap allocations)."""
+    if not native.available():
+        pytest.skip("native toolchain unavailable")
+    import threading
+
+    p = _tiny_params()
+    rng = np.random.RandomState(7)
+    cases = []
+    for i in range(4):
+        f = rng.rand(9, 3, 4).astype(np.float32) * 0.1
+        obst = rng.rand(3, 4) < 0.3
+        cases.append((f, obst))
+
+    # sequential ground truth
+    seq = []
+    for i, (f, obst) in enumerate(cases):
+        path = tmp_path / f"seq{i}.dat"
+        write_final_state(path, f, obst, p)
+        seq.append(path.read_text())
+
+    threads = []
+    for i, (f, obst) in enumerate(cases):
+        t = threading.Thread(
+            target=write_final_state,
+            args=(tmp_path / f"par{i}.dat", f, obst, p),
+        )
+        threads.append(t)
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    for i in range(4):
+        assert (tmp_path / f"par{i}.dat").read_text() == seq[i], i

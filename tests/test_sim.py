@@ -184,3 +184,22 @@ def test_divergence_detection():
     sim.params = dataclasses.replace(sim.params, omega=2.5)  # unstable
     with pytest.raises(FloatingPointError, match="diverged"):
         sim.run(n_steps=3000, chunk=1000)
+
+
+def test_async_checkpointing_during_run(tmp_path):
+    """Checkpoints written by the async writer are loadable and resumable."""
+    mesh = get_mesh(n_devices=1)
+    sim = Simulation.from_files(PARAMS, OBST, mesh=mesh, backend="jnp")
+    sim.run(n_steps=30, checkpoint_every=10, checkpoint_dir=tmp_path)
+    import glob
+
+    cks = sorted(glob.glob(str(tmp_path / "ckpt_*.npz")))
+    assert len(cks) == 3  # steps 10, 20, 30
+
+    resumed = Simulation.from_files(PARAMS, OBST, mesh=mesh, backend="jnp")
+    resumed.restore_checkpoint(tmp_path)
+    assert resumed.step_count == 30
+    import numpy as _np
+    _np.testing.assert_array_equal(
+        _np.asarray(resumed.f), _np.asarray(sim.f)
+    )

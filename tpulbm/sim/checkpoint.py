@@ -12,7 +12,8 @@ import dataclasses
 import json
 import os
 import re
-from typing import Tuple
+import threading
+from typing import Optional, Tuple
 
 import numpy as np
 
@@ -35,6 +36,42 @@ def save(directory, step: int, f: np.ndarray, av_vels: np.ndarray,
     )
     os.replace(tmp, path)
     return path
+
+
+class AsyncCheckpointer:
+    """Overlaps checkpoint serialization/compression with the next compute
+    chunk: ``submit`` hands off already-host-resident arrays to a writer
+    thread; ``wait`` joins the in-flight write (called before the next submit
+    and at shutdown). At most one write is in flight — a second submit first
+    waits for the previous one, so checkpoints are never reordered."""
+
+    def __init__(self):
+        self._thread: Optional[threading.Thread] = None
+        self._result: Optional[str] = None
+        self._error: Optional[BaseException] = None
+
+    def submit(self, directory, step, f, av_vels, params) -> None:
+        self.wait()
+        f = np.asarray(f)
+        av_vels = np.array(av_vels, copy=True)
+
+        def work():
+            try:
+                self._result = save(directory, step, f, av_vels, params)
+            except BaseException as e:  # surfaced on the next wait()
+                self._error = e
+
+        self._thread = threading.Thread(target=work, daemon=True)
+        self._thread.start()
+
+    def wait(self) -> Optional[str]:
+        if self._thread is not None:
+            self._thread.join()
+            self._thread = None
+        if self._error is not None:
+            err, self._error = self._error, None
+            raise err
+        return self._result
 
 
 def latest(directory) -> str | None:

@@ -64,6 +64,7 @@ class Simulation:
         self.step_count = 0
         self.av_vels = np.zeros((params.max_iters,), dtype=np.float32)
         self._runners = {}
+        self._async_ckpt = ckpt.AsyncCheckpointer()
 
     @classmethod
     def from_files(
@@ -148,7 +149,12 @@ class Simulation:
                 self.step_count % checkpoint_every == 0
                 or done >= total
             ):
-                self.save_checkpoint(checkpoint_dir)
+                # async: serialization overlaps the next compute chunk
+                self._async_ckpt.submit(
+                    checkpoint_dir, self.step_count, self.f, self.av_vels,
+                    self.params,
+                )
+        self._async_ckpt.wait()
         jax.block_until_ready(self.f)
         elapsed = time.perf_counter() - t0
         reyn = float(calc_reynolds(self.f, self.obstacles, self.params))
