@@ -42,3 +42,12 @@ def test_params_derived():
     assert abs(p.accel_w2 - 0.1 * 0.005 / 36.0) < 1e-9
     p2 = p.with_free_cells(15876)
     assert abs(p2.free_cells_inv - 1.0 / 15876) < 1e-9
+
+
+def test_fully_blocked_grid_rejected():
+    import pytest
+
+    p = LBMParams(nx=8, ny=8, max_iters=1, reynolds_dim=10,
+                  density=0.1, accel=0.005, omega=1.85)
+    with pytest.raises(ValueError, match="blocks every cell"):
+        p.with_free_cells(0)

@@ -25,6 +25,10 @@ class LBMParams:
     free_cells_inv: float = 0.0
 
     def with_free_cells(self, num_free_cells: int) -> "LBMParams":
+        if num_free_cells <= 0:
+            raise ValueError(
+                "obstacle map blocks every cell; no fluid to simulate"
+            )
         inv = float(np.float32(1.0) / np.float32(num_free_cells))
         return dataclasses.replace(self, free_cells_inv=inv)
 
