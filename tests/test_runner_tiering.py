@@ -1,0 +1,95 @@
+"""Backend tier selection in make_runner.
+
+The perf tiering (resident -> kstep -> kstep2d -> stream -> jnp) is pure
+logic; these tests pin which tier each configuration routes to, and that the
+'auto'/'pallas'/'jnp' requests and error paths behave."""
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from tpulbm.core.params import LBMParams
+from tpulbm.dist import runner as runner_mod
+from tpulbm.dist.mesh import get_mesh
+from tpulbm.ops import pallas_kstep, pallas_kstep2d, pallas_resident
+
+
+def _params(nx=128, ny=128):
+    return LBMParams(nx=nx, ny=ny, max_iters=8, reynolds_dim=10,
+                     density=0.1, accel=0.005, omega=1.85).with_free_cells(
+                         nx * ny)
+
+
+def _spy(monkeypatch):
+    calls = {}
+
+    def wrap(name, fn):
+        def inner(*a, **k):
+            calls[name] = calls.get(name, 0) + 1
+            return fn(*a, **k)
+        return inner
+
+    monkeypatch.setattr(
+        runner_mod, "_make_resident_runner",
+        wrap("resident", runner_mod._make_resident_runner),
+    )
+    monkeypatch.setattr(
+        runner_mod, "_make_kstep_runner",
+        wrap("kstep", runner_mod._make_kstep_runner),
+    )
+    return calls
+
+
+def test_small_grid_single_device_uses_resident(monkeypatch):
+    calls = _spy(monkeypatch)
+    runner_mod.make_runner(_params(), 8, get_mesh(n_devices=1),
+                           backend="pallas")
+    assert calls == {"resident": 1}
+
+
+def test_multi_device_uses_kstep(monkeypatch):
+    calls = _spy(monkeypatch)
+    runner_mod.make_runner(_params(), 8, get_mesh(n_devices=4),
+                           backend="pallas")
+    assert calls == {"kstep": 1}
+
+
+def test_large_grid_routes_to_kstep(monkeypatch):
+    calls = _spy(monkeypatch)
+    monkeypatch.setattr(pallas_resident, "supported", lambda ny, nx: False)
+    runner_mod.make_runner(_params(), 8, get_mesh(n_devices=1),
+                           backend="pallas")
+    assert calls == {"kstep": 1}
+
+
+def test_wide_grid_routes_to_kstep2d(monkeypatch):
+    calls = _spy(monkeypatch)
+    monkeypatch.setattr(pallas_resident, "supported", lambda ny, nx: False)
+    monkeypatch.setattr(pallas_kstep, "supported", lambda h, nx, k: False)
+    makers = []
+    orig = runner_mod._make_kstep_runner
+
+    def capture(*a, **k):
+        makers.append(k.get("maker"))
+        return orig(*a, **k)
+
+    monkeypatch.setattr(runner_mod, "_make_kstep_runner", capture)
+    # kstep2d needs nx >= 256 (two 128-column wrap margins)
+    runner_mod.make_runner(_params(nx=256, ny=256), 8, get_mesh(n_devices=1),
+                           backend="pallas")
+    assert makers == [pallas_kstep2d.make_kstep2d]
+
+
+def test_unsupported_shape_falls_back_or_raises():
+    bad = LBMParams(nx=100, ny=64, max_iters=4, reynolds_dim=10,
+                    density=0.1, accel=0.005, omega=1.85).with_free_cells(6400)
+    # auto silently falls back to jnp and still runs
+    r = runner_mod.make_runner(bad, 2, get_mesh(n_devices=1), backend="auto")
+    from tpulbm.core.state import initial_state
+
+    f, av = r(initial_state(bad), jnp.zeros((64, 100), dtype=bool))
+    assert np.all(np.isfinite(np.asarray(av)))
+    # explicit pallas raises
+    with pytest.raises(ValueError, match="unsupported"):
+        runner_mod.make_runner(bad, 2, get_mesh(n_devices=1),
+                               backend="pallas")
