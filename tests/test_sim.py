@@ -203,3 +203,15 @@ def test_async_checkpointing_during_run(tmp_path):
     _np.testing.assert_array_equal(
         _np.asarray(resumed.f), _np.asarray(sim.f)
     )
+
+
+def test_metrics_file_streaming(tmp_path):
+    import json
+
+    out = tmp_path / "metrics.jsonl"
+    sim = Simulation.from_files(PARAMS, OBST, mesh=get_mesh(n_devices=1),
+                                backend="jnp")
+    sim.run(n_steps=20, chunk=5, metrics_file=str(out))
+    lines = [json.loads(l) for l in out.read_text().splitlines()]
+    assert [l["step"] for l in lines] == [5, 10, 15, 20]
+    assert all(np.isfinite(l["av_vel"]) and l["wall_s"] >= 0 for l in lines)

@@ -67,6 +67,11 @@ def build_parser() -> argparse.ArgumentParser:
              "of the reference, d2q9-bgk.c:419-421)",
     )
     p.add_argument(
+        "--metrics-file", default=None,
+        help="append one JSON line per chunk (step, av_vel, wall time, "
+             "throughput) — live observability for dashboards",
+    )
+    p.add_argument(
         "--debug", action="store_true",
         help="print av_velocity and total_density each chunk (the reference's "
              "DEBUG block, d2q9-bgk.c:380-393)",
@@ -123,6 +128,7 @@ def main(argv=None) -> int:
                 checkpoint_dir=args.checkpoint_dir,
                 progress=args.progress,
                 debug=args.debug,
+                metrics_file=args.metrics_file,
             )
     except ValueError as e:
         # e.g. backend/shape mismatches surfaced lazily by make_runner

@@ -94,6 +94,7 @@ class Simulation:
         checkpoint_dir: Optional[str] = None,
         progress: bool = False,
         debug: bool = False,
+        metrics_file: Optional[str] = None,
     ) -> SimulationResult:
         """Advance ``n_steps`` (default: the deck's maxIters minus steps
         already taken), returning the accumulated result."""
@@ -108,7 +109,10 @@ class Simulation:
             raise ValueError("checkpoint_every requires checkpoint_dir")
         if chunk is None:
             chunk = total if checkpoint_every is None else checkpoint_every
+            if metrics_file and chunk == total:
+                chunk = max(1, min(total, 1000))
         chunk = max(1, min(chunk, total))
+        metrics_fp = open(metrics_file, "a") if metrics_file else None
         t0 = time.perf_counter()
         done = 0
         while done < total:
@@ -145,6 +149,18 @@ class Simulation:
                 print(f"av velocity: {av_np[-1]:.12E}")
                 print(f"tot density: {float(total_density(self.f)):.12E}",
                       flush=True)
+            if metrics_fp is not None:
+                import json
+
+                metrics_fp.write(json.dumps({
+                    "step": self.step_count,
+                    "av_vel": float(av_np[-1]),
+                    "wall_s": round(time.perf_counter() - t0, 4),
+                    "steps_per_s": round(
+                        self.step_count / max(time.perf_counter() - t0, 1e-9)
+                    ),
+                }) + "\n")
+                metrics_fp.flush()
             if checkpoint_every and checkpoint_dir and (
                 self.step_count % checkpoint_every == 0
                 or done >= total
@@ -155,6 +171,8 @@ class Simulation:
                     self.params,
                 )
         self._async_ckpt.wait()
+        if metrics_fp is not None:
+            metrics_fp.close()
         jax.block_until_ready(self.f)
         elapsed = time.perf_counter() - t0
         reyn = float(calc_reynolds(self.f, self.obstacles, self.params))
