@@ -2,7 +2,7 @@
 """Headline benchmark: sustained MLUPS on the 1024x1024 deck, one TPU chip.
 
 Baseline: the reference's best time on this deck is 5.92 s for 20000 steps on
-64 Xeon cores (report.odt table 4; d2q9-bgk_best.out:10) = ~3550 MLUPS.
+64 Xeon cores (report.odt table 4; d2q9-bgk_best.out:10) = ~3542 MLUPS.
 ``vs_baseline`` is the speedup over that number.
 
 Prints exactly one JSON line on stdout; diagnostics go to stderr.
@@ -15,7 +15,6 @@ import json
 import sys
 import time
 
-BASELINE_MLUPS = 3550.0  # 1024^2 * 20000 / 5.92 s / 1e6
 # Reference best-build times per deck (BASELINE.md): grid -> (seconds, iters)
 REFERENCE_BEST = {
     "128x128": (0.525, 40000),
@@ -23,6 +22,8 @@ REFERENCE_BEST = {
     "256x256": (2.705, 80000),
     "1024x1024": (5.922, 20000),
 }
+# Headline baseline derived from the table above (single source of truth).
+BASELINE_MLUPS = 1024 * 1024 * REFERENCE_BEST["1024x1024"][1] /     REFERENCE_BEST["1024x1024"][0] / 1e6
 
 
 def log(msg):
@@ -46,7 +47,11 @@ def main():
 
     grid = "1024x1024"
     if "--grid" in sys.argv:
-        grid = sys.argv[sys.argv.index("--grid") + 1]
+        idx = sys.argv.index("--grid")
+        if idx + 1 >= len(sys.argv):
+            log("--grid requires a value (e.g. --grid 256x256)")
+            return 2
+        grid = sys.argv[idx + 1]
     deck = f"data/input_{grid}.params"
     obst_file = f"data/obstacles_{grid}.dat"
     params = read_params(deck)
@@ -111,4 +116,4 @@ def main():
 
 
 if __name__ == "__main__":
-    main()
+    sys.exit(main())

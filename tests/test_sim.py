@@ -215,3 +215,19 @@ def test_metrics_file_streaming(tmp_path):
     lines = [json.loads(l) for l in out.read_text().splitlines()]
     assert [l["step"] for l in lines] == [5, 10, 15, 20]
     assert all(np.isfinite(l["av_vel"]) and l["wall_s"] >= 0 for l in lines)
+
+
+def test_divergence_cli_clean_error(tmp_path, capsys):
+    """Divergence surfaces as a clean one-line CLI error, with consistent
+    Simulation bookkeeping (step_count matches the stored finite prefix)."""
+    import dataclasses
+
+    from tpulbm.cli import main
+
+    deck = tmp_path / "bad.params"
+    deck.write_text("128\n128\n3000\n10\n0.1\n0.005\n2.5\n")  # omega=2.5
+    rc = main([str(deck), OBST, "--backend", "jnp", "--device-count", "1",
+               "--chunk", "1000", "--out-dir", str(tmp_path)])
+    assert rc == 1
+    err = capsys.readouterr().err
+    assert "diverged" in err and "Traceback" not in err

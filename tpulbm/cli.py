@@ -133,6 +133,8 @@ def main(argv=None) -> int:
     except ValueError as e:
         # e.g. backend/shape mismatches surfaced lazily by make_runner
         return die(str(e))
+    except FloatingPointError as e:
+        return die(str(e))
     toc = time.time()
     ru = resource.getrusage(resource.RUSAGE_SELF)
 

@@ -83,6 +83,27 @@ def _make_resident_runner(params: LBMParams, n_steps: int, k_chunk: int = 512):
     return runner
 
 
+def _ring_slabs(n_dev: int, axis_name: str):
+    """(slab2, slab3): functions returning the (lo, hi) edge slabs of a
+    2-D/3-D per-shard array from the ring neighbours. Forward permutation
+    carries each shard's LAST rows to the next device (whose halo-below they
+    become); backward carries first rows to the previous device."""
+    perm_fwd = [(i, (i + 1) % n_dev) for i in range(n_dev)]
+    perm_bwd = [(i, (i - 1) % n_dev) for i in range(n_dev)]
+
+    def slab2(x, w):
+        lo = jax.lax.ppermute(x[-w:], axis_name, perm_fwd)
+        hi = jax.lax.ppermute(x[:w], axis_name, perm_bwd)
+        return lo, hi
+
+    def slab3(g, w):
+        lo = jax.lax.ppermute(g[:, -w:, :], axis_name, perm_fwd)
+        hi = jax.lax.ppermute(g[:, :w, :], axis_name, perm_bwd)
+        return lo, hi
+
+    return slab2, slab3
+
+
 def _make_kstep_runner(
     params: LBMParams,
     n_steps: int,
@@ -148,18 +169,7 @@ def _make_kstep_runner(
 
         return runner_single
 
-    perm_fwd = [(i, (i + 1) % n_dev) for i in range(n_dev)]
-    perm_bwd = [(i, (i - 1) % n_dev) for i in range(n_dev)]
-
-    def ring_slab2(x, w):
-        lo = jax.lax.ppermute(x[-w:], axis_name, perm_fwd)
-        hi = jax.lax.ppermute(x[:w], axis_name, perm_bwd)
-        return lo, hi
-
-    def ring_slab3(g, w):
-        lo = jax.lax.ppermute(g[:, -w:, :], axis_name, perm_fwd)
-        hi = jax.lax.ppermute(g[:, :w, :], axis_name, perm_bwd)
-        return lo, hi
+    ring_slab2, ring_slab3 = _ring_slabs(n_dev, axis_name)
 
     def body(f_loc, obst_loc):
         d = jax.lax.axis_index(axis_name)
@@ -218,15 +228,13 @@ def _make_rdma_runner(
         )
     free_inv = jnp.float32(params.free_cells_inv)
     accel_glob = params.accel_row
-    perm_fwd = [(i, (i + 1) % n_dev) for i in range(n_dev)]
-    perm_bwd = [(i, (i - 1) % n_dev) for i in range(n_dev)]
+    slab2, slab3 = _ring_slabs(n_dev, axis_name)
 
     def body(f_loc, obst_loc):
         d = jax.lax.axis_index(axis_name)
         off = (d * h).astype(jnp.int32)
         obst_f = obst_loc.astype(jnp.float32)
-        olo = jax.lax.ppermute(obst_f[-k:], axis_name, perm_fwd)
-        ohi = jax.lax.ppermute(obst_f[:k], axis_name, perm_bwd)
+        olo, ohi = slab2(obst_f, k)
         aux = (obst_f, olo, ohi)
 
         def one(g, par):
@@ -240,8 +248,7 @@ def _make_rdma_runner(
         f_out, avs = jax.lax.scan(one, f_loc, parities)
         av = avs.reshape(-1)
         if chunk_rem is not None:
-            hlo = jax.lax.ppermute(f_out[:, -rem:, :], axis_name, perm_fwd)
-            hhi = jax.lax.ppermute(f_out[:, :rem, :], axis_name, perm_bwd)
+            hlo, hhi = slab3(f_out, rem)
             scal2 = jnp.stack([jnp.int32(accel_glob), off]).reshape(1, 2)
             aux_r = (obst_f, olo[-rem:], ohi[:rem])
             f_out, av_r = chunk_rem(f_out, hlo, hhi, aux_r, scal2)

@@ -1,7 +1,7 @@
 """2-D tiled K-step temporal-blocking kernel for wide grids.
 
 The 1-D K-step kernel (pallas_kstep.py) keeps full rows in VMEM, which caps
-the row-block at BY=8 once nx reaches 4096 and leaves the kernel bound by
+the row-block at BY=8 once nx reaches 4096 (the 1-D kernel still wins at nx=2048) and leaves the kernel bound by
 per-program overhead. This variant tiles BOTH axes: each program owns a
 (BY, BX) tile and steps a (BY+16, BX+256) window K (<= 8) times in VMEM.
 

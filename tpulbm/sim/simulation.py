@@ -115,64 +115,88 @@ class Simulation:
         metrics_fp = open(metrics_file, "a") if metrics_file else None
         t0 = time.perf_counter()
         done = 0
-        while done < total:
-            n = min(chunk, total - done)
-            runner = self._runner(n)
-            self.f, av = runner(self.f, self.obstacles)
-            av_np = np.asarray(av)
-            if not np.isfinite(av_np[-1]):
-                # Divergence check — the runtime equivalent of the
-                # reference's disabled feenableexcept FP traps
-                # (d2q9-bgk.c:60,195). BGK goes unstable for omega near 2
-                # or too-strong forcing.
-                bad = int(np.argmax(~np.isfinite(av_np)))
-                raise FloatingPointError(
-                    f"simulation diverged (non-finite average velocity at "
-                    f"step {self.step_count + bad}); check omega "
-                    f"({self.params.omega}) and accel ({self.params.accel})"
-                )
-            lo = self.step_count
-            self.av_vels[lo : lo + n] = av_np
-            self.step_count += n
-            done += n
-            if progress:
-                print(
-                    f"step {self.step_count}/{self.params.max_iters} "
-                    f"av_vel={av_np[-1]:.6E}",
-                    flush=True,
-                )
-            if debug:
-                # The reference's DEBUG block (d2q9-bgk.c:380-393).
-                from tpulbm.diag.observables import total_density
+        try:
+            while done < total:
+                n = min(chunk, total - done)
+                runner = self._runner(n)
+                self.f, av = runner(self.f, self.obstacles)
+                av_np = np.asarray(av)
+                if not np.isfinite(av_np[-1]):
+                    # Divergence check — the runtime equivalent of the
+                    # reference's disabled feenableexcept FP traps
+                    # (d2q9-bgk.c:60,195). BGK goes unstable for omega near 2
+                    # or too-strong forcing. Bookkeeping is advanced through
+                    # the last finite step first so the object stays
+                    # consistent for callers that catch and inspect (the
+                    # in-memory state itself is past the divergence — the
+                    # pre-chunk state was donated and cannot be restored).
+                    bad = int(np.argmax(~np.isfinite(av_np)))
+                    self.av_vels[self.step_count : self.step_count + bad] = (
+                        av_np[:bad]
+                    )
+                    self.step_count += bad
+                    raise FloatingPointError(
+                        f"simulation diverged (non-finite average velocity "
+                        f"at step {self.step_count}); check omega "
+                        f"({self.params.omega}) and accel "
+                        f"({self.params.accel})"
+                    )
+                lo = self.step_count
+                self.av_vels[lo : lo + n] = av_np
+                self.step_count += n
+                done += n
+                if progress:
+                    print(
+                        f"step {self.step_count}/{self.params.max_iters} "
+                        f"av_vel={av_np[-1]:.6E}",
+                        flush=True,
+                    )
+                if debug:
+                    # The reference's DEBUG block (d2q9-bgk.c:380-393).
+                    from tpulbm.diag.observables import total_density
 
-                print(f"==timestep: {self.step_count - 1}==")
-                print(f"av velocity: {av_np[-1]:.12E}")
-                print(f"tot density: {float(total_density(self.f)):.12E}",
-                      flush=True)
+                    print(f"==timestep: {self.step_count - 1}==")
+                    print(f"av velocity: {av_np[-1]:.12E}")
+                    print(
+                        f"tot density: {float(total_density(self.f)):.12E}",
+                        flush=True,
+                    )
+                if metrics_fp is not None:
+                    import json
+
+                    wall = max(time.perf_counter() - t0, 1e-9)
+                    metrics_fp.write(json.dumps({
+                        "step": self.step_count,
+                        "av_vel": float(av_np[-1]),
+                        "wall_s": round(wall, 4),
+                        # this run's steps over this run's wall time
+                        "steps_per_s": round(done / wall, 2),
+                    }) + "\n")
+                    metrics_fp.flush()
+                if checkpoint_every and checkpoint_dir and (
+                    self.step_count % checkpoint_every == 0
+                    or done >= total
+                ):
+                    # async: serialization overlaps the next compute chunk
+                    self._async_ckpt.submit(
+                        checkpoint_dir, self.step_count, self.f, self.av_vels,
+                        self.params,
+                    )
+        finally:
+            # join the in-flight checkpoint (surfacing its errors) and flush
+            # metrics even when a chunk raised
+            try:
+                self._async_ckpt.wait()
+            except Exception as ckpt_err:
+                import sys
+
+                if sys.exc_info()[1] is None:
+                    raise
+                # don't mask the in-flight exception with the write failure
+                print(f"warning: async checkpoint failed: {ckpt_err}",
+                      file=sys.stderr)
             if metrics_fp is not None:
-                import json
-
-                metrics_fp.write(json.dumps({
-                    "step": self.step_count,
-                    "av_vel": float(av_np[-1]),
-                    "wall_s": round(time.perf_counter() - t0, 4),
-                    "steps_per_s": round(
-                        self.step_count / max(time.perf_counter() - t0, 1e-9)
-                    ),
-                }) + "\n")
-                metrics_fp.flush()
-            if checkpoint_every and checkpoint_dir and (
-                self.step_count % checkpoint_every == 0
-                or done >= total
-            ):
-                # async: serialization overlaps the next compute chunk
-                self._async_ckpt.submit(
-                    checkpoint_dir, self.step_count, self.f, self.av_vels,
-                    self.params,
-                )
-        self._async_ckpt.wait()
-        if metrics_fp is not None:
-            metrics_fp.close()
+                metrics_fp.close()
         jax.block_until_ready(self.f)
         elapsed = time.perf_counter() - t0
         reyn = float(calc_reynolds(self.f, self.obstacles, self.params))
