@@ -38,7 +38,14 @@ def macroscopics(t: Sequence[jnp.ndarray]):
 
 
 def equilibrium(dens, densinv, m_x, m_y, u_sq):
-    """The nine simplified BGK equilibria (d2q9-bgk.c:592-647)."""
+    """The nine simplified BGK equilibria (d2q9-bgk.c:592-647).
+
+    NOTE on a rejected optimization: opposite-direction pairs share their
+    quadratic term (feq_{k,opp} = w*(dens+quad) +- w*3*(m.c_k)), which would
+    save ~15% of the per-cell flops — but the regrouped expression compiles
+    to different FMA contractions under jit-XLA vs Pallas interpret mode,
+    breaking the bitwise kernel-vs-oracle differential tests that caught the
+    quad-buffer DMA race. Bitwise testability wins; see docs/ROADMAP.md."""
     # Projections m . c_k for k = 1..8.
     mu = (
         None,
