@@ -1,0 +1,54 @@
+#!/usr/bin/env bash
+# Full acceptance sweep: run every shipped deck end-to-end on the current
+# backend and gate each against the reference goldens (1% tolerance) — the
+# framework's `make check` across the whole matrix. Exits nonzero on any
+# failure.
+set -uo pipefail
+cd "$(dirname "$0")/.."
+export PYTHONPATH="$PWD${PYTHONPATH:+:$PYTHONPATH}"
+
+BACKEND="${1:-pallas}"
+OUT="${OUT:-/tmp/tpulbm_acceptance}"
+fail=0
+
+for deck in 128x128 128x256 256x256 1024x1024; do
+  dir="$OUT/$deck"
+  mkdir -p "$dir"
+  echo "== $deck ($BACKEND) =="
+  if ! python -m tpulbm "data/input_$deck.params" "data/obstacles_$deck.dat" \
+      --backend "$BACKEND" --out-dir "$dir" 2>/dev/null | grep Reynolds; then
+    echo "RUN FAILED: $deck"; fail=1; continue
+  fi
+  if [ -f "tests/goldens/$deck.final_state.dat" ]; then
+    if python -m tpulbm.validation.check \
+        --ref-av-vels-file "tests/goldens/$deck.av_vels.dat" \
+        --ref-final-state-file "tests/goldens/$deck.final_state.dat" \
+        --av-vels-file "$dir/av_vels.dat" \
+        --final-state-file "$dir/final_state.dat" 2>/dev/null \
+        | grep -q "Both tests passed!"; then
+      echo "CHECK PASS: $deck (av_vels + final_state)"
+    else
+      echo "CHECK FAIL: $deck"; fail=1
+    fi
+  else
+    # final-state golden stripped upstream; gate the av_vels series alone
+    if python - "$deck" "$dir" <<'EOF'
+import sys
+import numpy as np
+deck, out = sys.argv[1], sys.argv[2]
+ref = np.loadtxt(f"tests/goldens/{deck}.av_vels.dat", usecols=[1])
+sim = np.loadtxt(f"{out}/av_vels.dat", usecols=[1])
+rel = 100 * np.abs(ref - sim) / np.abs(ref)
+print(f"av_vels max %diff: {rel.max():.4f}")
+sys.exit(0 if rel.max() < 1.0 else 1)
+EOF
+    then
+      echo "CHECK PASS: $deck (av_vels)"
+    else
+      echo "CHECK FAIL: $deck"; fail=1
+    fi
+  fi
+done
+
+[ "$fail" -eq 0 ] && echo "ACCEPTANCE: ALL DECKS PASS" || echo "ACCEPTANCE: FAILURES"
+exit $fail
