@@ -40,6 +40,13 @@ def build_parser() -> argparse.ArgumentParser:
         help="number of devices in the 1-D mesh (default: all)",
     )
     p.add_argument(
+        "--mesh-shape",
+        default=None,
+        metavar="DYxDX",
+        help="2-D torus mesh: shard BOTH grid axes, e.g. 2x4 "
+             "(overrides --device-count; jnp compute path)",
+    )
+    p.add_argument(
         "--max-iters", type=int, default=None, help="override deck maxIters"
     )
     p.add_argument(
@@ -100,7 +107,13 @@ def main(argv=None) -> int:
 
     enable_compilation_cache()
     try:
-        mesh = get_mesh(n_devices=args.device_count)
+        if args.mesh_shape:
+            from tpulbm.dist.mesh import get_mesh_2d
+
+            dy, _, dx = args.mesh_shape.partition("x")
+            mesh = get_mesh_2d(int(dy), int(dx))
+        else:
+            mesh = get_mesh(n_devices=args.device_count)
         sim = Simulation.from_files(
             args.paramfile, args.obstaclefile, mesh=mesh, backend=args.backend
         )

@@ -15,6 +15,7 @@ import numpy as np
 from jax.sharding import Mesh
 
 AXIS = "y"
+AXIS_X = "x"
 
 
 def get_mesh(
@@ -31,3 +32,22 @@ def get_mesh(
                 )
             devices = devices[:n_devices]
     return Mesh(np.asarray(devices), (axis_name,))
+
+
+def get_mesh_2d(
+    dy: int,
+    dx: int,
+    devices: Optional[Sequence[jax.Device]] = None,
+    axis_names: tuple = (AXIS, AXIS_X),
+) -> Mesh:
+    """2-D torus mesh sharding both grid axes — the tiled decomposition the
+    reference's report considered and declined for layout reasons
+    (report.odt "MPI Design"); natural on a TPU torus."""
+    if devices is None:
+        devices = jax.devices()
+    if dy * dx > len(devices):
+        raise ValueError(
+            f"requested {dy}x{dx} devices, have {len(devices)}"
+        )
+    grid = np.asarray(devices[: dy * dx]).reshape(dy, dx)
+    return Mesh(grid, axis_names)

@@ -270,6 +270,87 @@ def _make_rdma_runner(
     return runner
 
 
+def _make_runner_2d(params: LBMParams, n_steps: int, mesh: Mesh):
+    """Runner over a 2-D ('y', 'x') torus mesh: both grid axes sharded, with
+    a two-phase width-1 halo exchange per step (columns first, then rows of
+    the column-extended block, so corner cells ride along) — the tiled
+    decomposition the reference's report declined (report.odt "MPI Design").
+    Pure-jnp local compute; pull-streaming needs no rolls at all because
+    both wraps come from the ring permutations."""
+    ay, ax = mesh.axis_names
+    dy, dx = mesh.devices.shape
+    h = validate_even_split(params.ny, dy)
+    if params.nx % dx != 0 or params.nx // dx < 3:
+        raise ValueError(
+            f"nx={params.nx} must split evenly into >=3-column shards "
+            f"over {dx} devices"
+        )
+    from tpulbm.core.lattice import CX, CY, NSPEEDS
+    from tpulbm.core import physics
+
+    free_inv = jnp.float32(params.free_cells_inv)
+    accel_glob = params.accel_row
+    omega = float(params.omega)
+    w1 = float(params.accel_w1)
+    w2 = float(params.accel_w2)
+    perm = {
+        a: (
+            [(i, (i + 1) % n) for i in range(n)],
+            [(i, (i - 1) % n) for i in range(n)],
+        )
+        for a, n in ((ay, dy), (ax, dx))
+    }
+
+    def body(f_loc, obst_loc):
+        d = jax.lax.axis_index(ay)
+        r = accel_glob - d * h
+        accel_row_local = jnp.where(
+            (r >= 0) & (r < h), r, jnp.int32(-1)
+        ).astype(jnp.int32)
+
+        def one_step(f, _):
+            f = step_local.accelerate_local(
+                f, obst_loc, accel_row_local, w1, w2
+            )
+            # phase 1: x halo columns
+            fwd, bwd = perm[ax]
+            xlo = jax.lax.ppermute(f[:, :, -1:], ax, fwd)
+            xhi = jax.lax.ppermute(f[:, :, :1], ax, bwd)
+            fx = jnp.concatenate([xlo, f, xhi], axis=2)
+            # phase 2: y halo rows of the x-extended block (corners included)
+            fwd, bwd = perm[ay]
+            ylo = jax.lax.ppermute(fx[:, -1:, :], ay, fwd)
+            yhi = jax.lax.ppermute(fx[:, :1, :], ay, bwd)
+            ext = jnp.concatenate([ylo, fx, yhi], axis=1)
+            # pull-streaming by pure slicing — both wraps came off the rings
+            hh, ww = f.shape[1], f.shape[2]
+            t = [
+                ext[k, 1 - CY[k] : 1 - CY[k] + hh,
+                    1 - CX[k] : 1 - CX[k] + ww]
+                for k in range(NSPEEDS)
+            ]
+            out, speed = physics.collide(t, obst_loc, omega)
+            return jnp.stack(out), jnp.sum(speed, dtype=jnp.float32) * free_inv
+
+        f_out, av_local = jax.lax.scan(one_step, f_loc, None, length=n_steps)
+        av = jax.lax.psum(jax.lax.psum(av_local, ay), ax)
+        return f_out, av
+
+    sharded = jax.shard_map(
+        body,
+        mesh=mesh,
+        in_specs=(P(None, ay, ax), P(ay, ax)),
+        out_specs=(P(None, ay, ax), P()),
+        check_vma=False,
+    )
+
+    @functools.partial(jax.jit, donate_argnums=0)
+    def runner(f, obstacles):
+        return sharded(f, obstacles)
+
+    return runner
+
+
 def make_runner(
     params: LBMParams,
     n_steps: int,
@@ -282,9 +363,14 @@ def make_runner(
     ``f`` is the global (9, ny, nx) float32 state (sharded or not — jit will
     respect/install the row sharding), ``obstacles`` the global (ny, nx) bool
     mask. ``av_vels`` is the (n_steps,) float32 series, fully reduced.
+
+    A 2-D mesh (two axis names) selects the torus decomposition — both grid
+    axes sharded; jnp compute path.
     """
     if mesh is None:
         mesh = get_mesh(axis_name=axis_name)
+    if len(mesh.axis_names) == 2:
+        return _make_runner_2d(params, n_steps, mesh)
     n_dev = mesh.devices.size
     rows_local = validate_even_split(params.ny, n_dev)
     requested = backend

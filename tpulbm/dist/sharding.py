@@ -64,8 +64,15 @@ def validate_even_split(ny: int, n_devices: int) -> int:
 
 
 def row_sharding(mesh: Mesh, axis_name: str = "y"):
-    """(state_sharding, mask_sharding): shard the y axis of (9, ny, nx) and
-    (ny, nx) arrays over the mesh."""
+    """(state_sharding, mask_sharding) for the mesh: the y axis of
+    (9, ny, nx)/(ny, nx) arrays over a 1-D mesh, or both grid axes over a
+    2-D ('y', 'x') torus mesh."""
+    if len(mesh.axis_names) == 2:
+        ay, ax = mesh.axis_names
+        return (
+            NamedSharding(mesh, P(None, ay, ax)),
+            NamedSharding(mesh, P(ay, ax)),
+        )
     state = NamedSharding(mesh, P(None, axis_name, None))
     mask = NamedSharding(mesh, P(axis_name, None))
     return state, mask

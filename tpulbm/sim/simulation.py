@@ -57,7 +57,16 @@ class Simulation:
         self.backend = backend
         from tpulbm.dist.sharding import validate_even_split
 
-        validate_even_split(params.ny, self.mesh.devices.size)
+        if len(self.mesh.axis_names) == 2:
+            dy, dx = self.mesh.devices.shape
+            validate_even_split(params.ny, dy)
+            if params.nx % dx != 0 or params.nx // dx < 3:
+                raise ValueError(
+                    f"nx={params.nx} must split evenly into >=3-column "
+                    f"shards over {dx} devices"
+                )
+        else:
+            validate_even_split(params.ny, self.mesh.devices.size)
         obst = jnp.asarray(np.asarray(obstacles, dtype=bool))
         f = initial_state(params)
         self.f, self.obstacles = shard_arrays(self.mesh, f, obst)
