@@ -44,6 +44,9 @@ def test_runner_auto_selects_resident_for_small_grids(params_128):
 def test_supported_predicate():
     assert pallas_resident.supported(128, 128)
     assert pallas_resident.supported(256, 256)
+    # 256x512 = 131K cells needs 4 state copies = ~19 MB VMEM — must be
+    # routed to the streaming tier (regression: OOM'd at the old 160K cap)
+    assert not pallas_resident.supported(256, 512)
     assert not pallas_resident.supported(1024, 1024)  # too big for VMEM
     assert not pallas_resident.supported(128, 100)    # lane misaligned
     assert not pallas_resident.supported(100, 128)    # sublane misaligned

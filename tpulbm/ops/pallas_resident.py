@@ -27,8 +27,11 @@ from jax.experimental.pallas import tpu as pltpu
 from tpulbm.core.lattice import NSPEEDS
 from tpulbm.ops.window_step import fused_window_steps
 
-# Two (9, ny, nx) f32 buffers + the input/output pipeline must fit in ~16 MB.
-_MAX_CELLS = 160 * 1024
+# VMEM holds four f32 copies of the state at once (ping + pong scratch +
+# input + output block): 4 * 9 * 4 B = 144 B/cell against the ~16 MB budget,
+# i.e. ~116K cells; 100K leaves headroom. (A 256x512 deck at the previous
+# 160K cap compiled to a 19 MB stack and OOM'd — caught by examples/.)
+_MAX_CELLS = 100 * 1024
 
 
 def supported(ny: int, nx: int) -> bool:
