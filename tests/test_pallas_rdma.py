@@ -44,3 +44,26 @@ def test_supported_predicate():
     assert not pkr.supported(128, 128, 4, 2)   # slab must equal the margin
     assert not pkr.supported(128, 128, 8, 1)   # needs a ring
     assert not pkr.supported(128, 100, 8, 2)
+
+
+def test_rdma_reordered_multiblock_schedule(params_128, monkeypatch):
+    """Shards with >= 3 blocks take the interior-first reordered grid (edge
+    blocks processed last so RDMA slabs hide behind interior compute) —
+    single-block shards never exercise block_of()."""
+    import tpulbm.ops.pallas_kstep as pk
+
+    monkeypatch.setattr(pk, "_BLOCK_BUDGET", 24 * 128)  # 8-row blocks
+    params, mask = params_128
+    obst = jnp.asarray(mask)
+    n = 16
+    from tpulbm.core.state import initial_state as init
+    from tpulbm.ops.step_jnp import run_steps as rs
+
+    f_ref, av_ref = rs(init(params), obst, params, n)
+    for n_dev in (2, 4):
+        runner = make_runner(params, n, get_mesh(n_devices=n_dev),
+                             backend="pallas-rdma")
+        f, av = runner(init(params), obst)
+        assert np.array_equal(np.asarray(f), np.asarray(f_ref)), n_dev
+        np.testing.assert_allclose(np.asarray(av), np.asarray(av_ref),
+                                   rtol=2e-5)
