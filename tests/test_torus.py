@@ -44,3 +44,9 @@ def test_torus_rejects_thin_columns():
                   density=0.1, accel=0.005, omega=1.85).with_free_cells(512)
     with pytest.raises(ValueError, match="column"):
         make_runner(p, 2, mesh=get_mesh_2d(1, 8))
+
+
+def test_torus_rejects_pallas_backend(params_128):
+    params, _ = params_128
+    with pytest.raises(ValueError, match="2-D mesh"):
+        make_runner(params, 2, mesh=get_mesh_2d(2, 4), backend="pallas")

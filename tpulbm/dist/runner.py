@@ -370,6 +370,11 @@ def make_runner(
     if mesh is None:
         mesh = get_mesh(axis_name=axis_name)
     if len(mesh.axis_names) == 2:
+        if backend not in ("auto", "jnp"):
+            raise ValueError(
+                "the 2-D torus decomposition currently uses the jnp compute "
+                f"path; backend={backend!r} is not available on a 2-D mesh"
+            )
         return _make_runner_2d(params, n_steps, mesh)
     n_dev = mesh.devices.size
     rows_local = validate_even_split(params.ny, n_dev)
