@@ -6,6 +6,11 @@
 set -uo pipefail
 cd "$(dirname "$0")/.."
 export PYTHONPATH="$PWD${PYTHONPATH:+:$PYTHONPATH}"
+# keep the TPU plugin's site dir reachable (see CLAUDE.md)
+case ":$PYTHONPATH:" in
+  *:/root/.axon_site:*) ;;
+  *) [ -d /root/.axon_site ] && export PYTHONPATH="$PYTHONPATH:/root/.axon_site" ;;
+esac
 
 BACKEND="${1:-pallas}"
 OUT="${OUT:-/tmp/tpulbm_acceptance}"

@@ -4,7 +4,17 @@
 set -uo pipefail
 cd "$(dirname "$0")/.."
 export PYTHONPATH="$PWD${PYTHONPATH:+:$PYTHONPATH}"
+# keep the TPU plugin's site dir reachable (see CLAUDE.md)
+case ":$PYTHONPATH:" in
+  *:/root/.axon_site:*) ;;
+  *) [ -d /root/.axon_site ] && export PYTHONPATH="$PYTHONPATH:/root/.axon_site" ;;
+esac
 
+fail=0
 for deck in 128x128 128x256 256x256 1024x1024 4096x4096; do
-  python bench.py --grid "$deck" 2>/dev/null
+  if ! python bench.py --grid "$deck" 2>/dev/null; then
+    echo "BENCH FAILED: $deck" >&2
+    fail=1
+  fi
 done
+exit $fail

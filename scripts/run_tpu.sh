@@ -14,6 +14,11 @@ DEVICES="${2:-1}"
 shift $(( $# >= 2 ? 2 : 1 ))
 
 export PYTHONPATH="$PWD${PYTHONPATH:+:$PYTHONPATH}"
+# keep the TPU plugin's site dir reachable (see CLAUDE.md)
+case ":$PYTHONPATH:" in
+  *:/root/.axon_site:*) ;;
+  *) [ -d /root/.axon_site ] && export PYTHONPATH="$PYTHONPATH:/root/.axon_site" ;;
+esac
 
 exec python -m tpulbm "data/input_${DECK}.params" "data/obstacles_${DECK}.dat" \
     --device-count "$DEVICES" --out-dir "out/${DECK}" "$@"

@@ -110,7 +110,12 @@ def main(argv=None) -> int:
         if args.mesh_shape:
             from tpulbm.dist.mesh import get_mesh_2d
 
-            dy, _, dx = args.mesh_shape.partition("x")
+            dy, sep, dx = args.mesh_shape.partition("x")
+            if not sep or not dy.isdigit() or not dx.isdigit():
+                return die(
+                    f"--mesh-shape must be DYxDX (e.g. 2x4), "
+                    f"got {args.mesh_shape!r}"
+                )
             mesh = get_mesh_2d(int(dy), int(dx))
         else:
             mesh = get_mesh(n_devices=args.device_count)

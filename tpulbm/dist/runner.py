@@ -36,7 +36,7 @@ from jax.sharding import Mesh, PartitionSpec as P
 
 from tpulbm.core.params import LBMParams
 from tpulbm.dist.mesh import AXIS, get_mesh
-from tpulbm.dist.sharding import validate_even_split
+from tpulbm.dist.sharding import validate_even_col_split, validate_even_split
 from tpulbm.ops import step_local
 
 
@@ -280,11 +280,7 @@ def _make_runner_2d(params: LBMParams, n_steps: int, mesh: Mesh):
     ay, ax = mesh.axis_names
     dy, dx = mesh.devices.shape
     h = validate_even_split(params.ny, dy)
-    if params.nx % dx != 0 or params.nx // dx < 3:
-        raise ValueError(
-            f"nx={params.nx} must split evenly into >=3-column shards "
-            f"over {dx} devices"
-        )
+    validate_even_col_split(params.nx, dx)
     from tpulbm.core.lattice import CX, CY, NSPEEDS
     from tpulbm.core import physics
 

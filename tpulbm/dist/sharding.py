@@ -63,6 +63,16 @@ def validate_even_split(ny: int, n_devices: int) -> int:
     return rows
 
 
+def validate_even_col_split(nx: int, n_devices: int) -> int:
+    """Columns per device for the 2-D torus split; raises if invalid."""
+    if nx % n_devices != 0 or nx // n_devices < 3:
+        raise ValueError(
+            f"nx={nx} must split evenly into >=3-column shards over "
+            f"{n_devices} devices"
+        )
+    return nx // n_devices
+
+
 def row_sharding(mesh: Mesh, axis_name: str = "y"):
     """(state_sharding, mask_sharding) for the mesh: the y axis of
     (9, ny, nx)/(ny, nx) arrays over a 1-D mesh, or both grid axes over a

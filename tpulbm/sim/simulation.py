@@ -55,16 +55,15 @@ class Simulation:
         self.params = params
         self.mesh = mesh if mesh is not None else get_mesh(n_devices=None)
         self.backend = backend
-        from tpulbm.dist.sharding import validate_even_split
+        from tpulbm.dist.sharding import (
+            validate_even_col_split,
+            validate_even_split,
+        )
 
         if len(self.mesh.axis_names) == 2:
             dy, dx = self.mesh.devices.shape
             validate_even_split(params.ny, dy)
-            if params.nx % dx != 0 or params.nx // dx < 3:
-                raise ValueError(
-                    f"nx={params.nx} must split evenly into >=3-column "
-                    f"shards over {dx} devices"
-                )
+            validate_even_col_split(params.nx, dx)
         else:
             validate_even_split(params.ny, self.mesh.devices.size)
         obst = jnp.asarray(np.asarray(obstacles, dtype=bool))
