@@ -36,19 +36,24 @@ _WINDOW_BUDGET = 40 * 1024
 
 
 def pick_tile(h: int, nx: int) -> Optional[Tuple[int, int]]:
-    """(BY, BX) maximizing owned-tile area within the window budget."""
+    """(BY, BX) minimizing the window/owned overhead ratio within the
+    window budget (the kernel is compute-bound, and both the redundant
+    recompute and the extra read scale with that ratio); ties break toward
+    larger owned area (fewer programs)."""
     best = None
-    best_area = 0
+    best_key = None
     for by in range(8, min(h, 256) + 1, 8):
         if h % by:
             continue
         for bx in range(128, min(nx, 2048) + 1, 128):
             if nx % bx:
                 continue
-            if (by + 2 * _MY) * (bx + 2 * _MX) > _WINDOW_BUDGET:
+            window = (by + 2 * _MY) * (bx + 2 * _MX)
+            if window > _WINDOW_BUDGET:
                 continue
-            if by * bx > best_area:
-                best_area = by * bx
+            key = (window / (by * bx), -by * bx)
+            if best_key is None or key < best_key:
+                best_key = key
                 best = (by, bx)
     return best
 
