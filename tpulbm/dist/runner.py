@@ -20,7 +20,9 @@ Backend tiering under ``backend='pallas'`` (auto on TPU):
 2. ``ops.pallas_kstep`` — K=8-step temporal blocking over full-width row
    blocks;
 3. ``ops.pallas_kstep2d`` — same, tiled in both axes for wide grids;
-4. ``ops.pallas_step`` — 1-step streaming fallback;
+4. ``ops.pallas_step`` — 1-step streaming fallback (in practice the K-step
+   tiers cover its shape range; retained as a safety net and as the
+   simplest-possible reference kernel);
 5. ``ops.step_local`` — pure-jnp fallback for unsupported shapes
    (also ``backend='jnp'``, the differential-test oracle).
 """
