@@ -1,0 +1,62 @@
+"""Seeded randomized differential stress: random shapes, physics parameters,
+and obstacle densities through the auto-tiered pallas runner vs the jnp
+oracle. Complements the targeted kernel tests with coverage of
+shape/parameter combinations nobody thought to write down.
+
+Tolerance note: the canonical-shape kernel tests assert BITWISE equality,
+which holds because jit-XLA and pallas-interpret happen to compile the
+physics identically there. For arbitrary shapes (e.g. nx=384) XLA's CPU
+codegen contracts mul+add into FMA differently and the paths drift by a few
+ULP (~1e-8) while remaining numerically identical programs. Data-movement
+bugs (races, bad indexing) produce errors many orders larger, so this fuzz
+asserts a tight-but-not-bitwise tolerance."""
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from tpulbm.core.params import LBMParams
+from tpulbm.core.state import initial_state
+from tpulbm.dist.mesh import get_mesh
+from tpulbm.dist.runner import make_runner
+from tpulbm.ops.step_jnp import run_steps
+
+# (seed, ny, nx, n_dev) — shapes chosen to hit resident/kstep tiers and
+# remainder paths; all satisfy the divisibility rules.
+CASES = [
+    (0, 64, 128, 1),     # resident
+    (1, 96, 256, 1),     # resident, non-square
+    (2, 320, 384, 1),    # kstep (122K cells > resident cap)
+    (3, 64, 128, 2),     # kstep over a ring
+    (4, 128, 384, 4),    # kstep, wider lanes, 4 shards
+    (5, 48, 128, 2),     # 24-row shards, kstep with K=8 and remainder
+]
+
+
+@pytest.mark.parametrize("seed,ny,nx,n_dev", CASES)
+def test_random_configs_match_oracle(seed, ny, nx, n_dev):
+    rng = np.random.RandomState(seed)
+    params = LBMParams(
+        nx=nx, ny=ny, max_iters=1, reynolds_dim=int(rng.randint(1, 50)),
+        density=float(np.float32(0.05 + 0.2 * rng.rand())),
+        accel=float(np.float32(0.002 + 0.01 * rng.rand())),
+        omega=float(np.float32(0.8 + 0.9 * rng.rand())),
+    )
+    mask = rng.rand(ny, nx) < rng.uniform(0.0, 0.25)
+    mask[params.accel_row, rng.randint(0, nx, size=nx // 7)] = True
+    params = params.with_free_cells(ny * nx - int(mask.sum()))
+    obst = jnp.asarray(mask)
+    # random initial state: equilibrium plus noise (positive populations)
+    f0 = np.asarray(initial_state(params))
+    f0 = f0 * (1.0 + 0.1 * rng.rand(*f0.shape).astype(np.float32))
+    n = int(rng.randint(9, 22))  # crosses the K=8 boundary with remainders
+
+    f_ref, av_ref = run_steps(jnp.asarray(f0), obst, params, n)
+    runner = make_runner(params, n, get_mesh(n_devices=n_dev),
+                         backend="pallas")
+    f, av = runner(jnp.asarray(f0), obst)
+    np.testing.assert_allclose(
+        np.asarray(f), np.asarray(f_ref), rtol=0, atol=1e-6,
+        err_msg=str((seed, ny, nx)),
+    )
+    np.testing.assert_allclose(np.asarray(av), np.asarray(av_ref), rtol=3e-5)
