@@ -60,3 +60,39 @@ def test_random_configs_match_oracle(seed, ny, nx, n_dev):
         err_msg=str((seed, ny, nx)),
     )
     np.testing.assert_allclose(np.asarray(av), np.asarray(av_ref), rtol=3e-5)
+
+
+def test_random_config_kstep2d_tier(monkeypatch):
+    """Force the 2-D tiled tier (normally nx >= 4096) at a small shape so
+    the fuzz covers it too."""
+    import tpulbm.ops.pallas_kstep as pk
+    import tpulbm.ops.pallas_kstep2d as pk2
+    import tpulbm.ops.pallas_resident as pr
+
+    monkeypatch.setattr(pr, "supported", lambda ny, nx: False)
+    monkeypatch.setattr(pk, "supported", lambda h, nx, k: False)
+    monkeypatch.setattr(pk2, "_WINDOW_BUDGET", 12000)  # (8,128) tiles
+
+    seed, ny, nx, n_dev = 7, 64, 256, 1
+    rng = np.random.RandomState(seed)
+    params = LBMParams(
+        nx=nx, ny=ny, max_iters=1, reynolds_dim=10,
+        density=float(np.float32(0.05 + 0.2 * rng.rand())),
+        accel=float(np.float32(0.002 + 0.01 * rng.rand())),
+        omega=float(np.float32(0.8 + 0.9 * rng.rand())),
+    )
+    mask = rng.rand(ny, nx) < 0.15
+    params = params.with_free_cells(ny * nx - int(mask.sum()))
+    obst = jnp.asarray(mask)
+    f0 = np.asarray(initial_state(params))
+    f0 = f0 * (1.0 + 0.1 * rng.rand(*f0.shape).astype(np.float32))
+    n = 19
+
+    f_ref, av_ref = run_steps(jnp.asarray(f0), obst, params, n)
+    runner = make_runner(params, n, get_mesh(n_devices=n_dev),
+                         backend="pallas")
+    assert pk2.pick_tile(ny, nx) == (8, 128)
+    f, av = runner(jnp.asarray(f0), obst)
+    np.testing.assert_allclose(np.asarray(f), np.asarray(f_ref),
+                               rtol=0, atol=1e-6)
+    np.testing.assert_allclose(np.asarray(av), np.asarray(av_ref), rtol=3e-5)
