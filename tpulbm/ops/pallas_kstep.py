@@ -86,13 +86,14 @@ def _kernel(
     omega: float,
     w1: float,
     w2: float,
+    slots: int = 2,
 ):
     m = _MARGIN
     win = by + 2 * m
     i = pl.program_id(0)
     n = pl.num_programs(0)
-    slot = jax.lax.rem(i, 2)
-    nslot = jax.lax.rem(i + 1, 2)
+    slot = jax.lax.rem(i, slots)
+    nslot = jax.lax.rem(i + 1, slots)
 
     # -- double-buffered window DMAs (all offsets 8-aligned) ----------------
     # Four static shapes depending on block position; each case issues
@@ -150,15 +151,21 @@ def _kernel(
                 fc.wait()
                 oc.wait()
 
-    @pl.when(i == 0)
-    def _():
-        start_dmas(jnp.int32(0), 0)
+    if slots == 1:
+        # no prefetch: fetch-then-compute (trades DMA overlap for the VMEM
+        # that buys a larger BY and less window recompute)
+        start_dmas(i, 0)
+        wait_dmas(i, 0)
+    else:
+        @pl.when(i == 0)
+        def _():
+            start_dmas(jnp.int32(0), 0)
 
-    @pl.when(i + 1 < n)
-    def _():
-        start_dmas(i + 1, nslot)
+        @pl.when(i + 1 < n)
+        def _():
+            start_dmas(i + 1, nslot)
 
-    wait_dmas(i, slot)
+        wait_dmas(i, slot)
 
     # -- assemble the window values -----------------------------------------
     zero = np.float32(0.0)
@@ -228,6 +235,8 @@ def make_kstep(
     accel_w1: float,
     accel_w2: float,
     interpret: Optional[bool] = None,
+    by: Optional[int] = None,
+    slots: int = 2,
 ):
     """Returns ``(prepare, chunk)``:
 
@@ -236,8 +245,9 @@ def make_kstep(
     advances k_steps timesteps. ``scal`` is an int32 (1, 2) array holding
     [global accel row, shard global row offset]; halos are (9, K, nx).
     """
-    by = pick_block_rows(h, nx)
-    if by is None or not supported(h, nx, k_steps):
+    if by is None:
+        by = pick_block_rows(h, nx)
+    if by is None or not supported(h, nx, k_steps) or h % by or by % 8:
         raise ValueError(
             f"kstep kernel unsupported for local shape ({h}, {nx}), K={k_steps}"
         )
@@ -248,6 +258,7 @@ def make_kstep(
     kernel = functools.partial(
         _kernel, by=by, nx=nx, h=h, k_steps=k_steps, ny_global=ny_global,
         omega=float(omega), w1=float(accel_w1), w2=float(accel_w2),
+        slots=slots,
     )
 
     call = pl.pallas_call(
@@ -272,10 +283,10 @@ def make_kstep(
             jax.ShapeDtypeStruct((k_steps, 1), jnp.float32),
         ],
         scratch_shapes=[
-            pltpu.VMEM((2, NSPEEDS, by + 2 * _MARGIN, nx), jnp.float32),
-            pltpu.VMEM((2, by + 2 * _MARGIN, nx), jnp.float32),
-            pltpu.SemaphoreType.DMA((2,)),
-            pltpu.SemaphoreType.DMA((2,)),
+            pltpu.VMEM((slots, NSPEEDS, by + 2 * _MARGIN, nx), jnp.float32),
+            pltpu.VMEM((slots, by + 2 * _MARGIN, nx), jnp.float32),
+            pltpu.SemaphoreType.DMA((slots,)),
+            pltpu.SemaphoreType.DMA((slots,)),
             pltpu.SMEM((k_steps, 1), jnp.float32),
         ],
         compiler_params=pltpu.CompilerParams(
