@@ -8,6 +8,7 @@ Load-bearing cases:
 - K-slab halos over the ppermute ring on 2/8 devices;
 - remainder chunks (n_steps % K != 0)."""
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 import pytest
@@ -70,3 +71,43 @@ def test_supported_predicate():
     assert not pk.supported(128, 128, 9)   # K bounded by the 8-row margin
     assert not pk.supported(4, 128, 8)     # shard shorter than the halo slab
     assert not pk.supported(128, 100, 8)   # lane misaligned
+
+
+def test_alias_donor_variant_matches(params_128):
+    """The donor-aliased ping-pong chunk (output written into a donated
+    buffer via input_output_aliases) is bitwise-equal to the oracle."""
+    import functools
+
+    import tpulbm.ops.pallas_kstep as pk
+    from tpulbm.core.state import initial_state
+    from tpulbm.ops.step_jnp import run_steps
+
+    params, mask = params_128
+    obst = jnp.asarray(mask)
+    h = nx_ = params.ny
+    prep, chunk = pk.make_kstep(
+        h, params.nx, 8, ny_global=params.ny, omega=params.omega,
+        accel_w1=params.accel_w1, accel_w2=params.accel_w2, alias_donor=True,
+    )
+    free_inv = jnp.float32(params.free_cells_inv)
+
+    @jax.jit
+    def run24(f):
+        obst_f = obst.astype(jnp.float32)
+        aux = (obst_f, obst_f[-8:], obst_f[:8])
+        scal = jnp.array([[params.accel_row, 0]], dtype=jnp.int32)
+
+        def body(carry, _):
+            a, b = carry
+            c, av = chunk(b, b[:, -8:, :], b[:, :8, :], aux, scal, donor=a)
+            return (b, c), av * free_inv
+
+        (_, out), avs = jax.lax.scan(
+            body, (jnp.zeros_like(f), f), None, length=3
+        )
+        return out, avs.reshape(-1)
+
+    f, av = run24(initial_state(params))
+    f_ref, av_ref = run_steps(initial_state(params), obst, params, 24)
+    assert np.array_equal(np.asarray(f), np.asarray(f_ref))
+    np.testing.assert_allclose(np.asarray(av), np.asarray(av_ref), rtol=2e-6)

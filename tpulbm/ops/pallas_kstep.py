@@ -61,7 +61,7 @@ def supported(h: int, nx: int, k: int) -> bool:
 
 
 def _kernel(
-    # inputs
+    # inputs (an unused donor ref precedes f_ref in the alias_donor variant)
     f_ref,        # (9, H, nx) HBM
     lo_ref,       # (9, K, nx) VMEM: the K global rows below the shard
     hi_ref,       # (9, K, nx) VMEM: the K global rows above the shard
@@ -237,6 +237,7 @@ def make_kstep(
     interpret: Optional[bool] = None,
     by: Optional[int] = None,
     slots: int = 2,
+    alias_donor: bool = False,
 ):
     """Returns ``(prepare, chunk)``:
 
@@ -261,18 +262,34 @@ def make_kstep(
         slots=slots,
     )
 
+    in_specs = [
+        pl.BlockSpec(memory_space=pltpu.ANY),   # f
+        pl.BlockSpec(memory_space=pltpu.VMEM),  # halo lo
+        pl.BlockSpec(memory_space=pltpu.VMEM),  # halo hi
+        pl.BlockSpec(memory_space=pltpu.ANY),   # obstacles
+        pl.BlockSpec(memory_space=pltpu.VMEM),  # obst halo lo
+        pl.BlockSpec(memory_space=pltpu.VMEM),  # obst halo hi
+        pl.BlockSpec(memory_space=pltpu.SMEM),  # scalars
+    ]
+    kernel_fn = kernel
+    io_aliases = {}
+    if alias_donor:
+        # Explicit ping-pong: the output lands in a donated buffer (the
+        # caller passes the grand-previous state), letting a scanned caller
+        # avoid the carry copy.
+        in_specs = [pl.BlockSpec(memory_space=pltpu.ANY)] + in_specs
+
+        def kernel_fn(donor_ref, *rest):
+            del donor_ref  # storage only; never read
+            return kernel(*rest)
+
+        io_aliases = {0: 0}
+
     call = pl.pallas_call(
-        kernel,
+        kernel_fn,
         grid=(n_blocks,),
-        in_specs=[
-            pl.BlockSpec(memory_space=pltpu.ANY),   # f
-            pl.BlockSpec(memory_space=pltpu.VMEM),  # halo lo
-            pl.BlockSpec(memory_space=pltpu.VMEM),  # halo hi
-            pl.BlockSpec(memory_space=pltpu.ANY),   # obstacles
-            pl.BlockSpec(memory_space=pltpu.VMEM),  # obst halo lo
-            pl.BlockSpec(memory_space=pltpu.VMEM),  # obst halo hi
-            pl.BlockSpec(memory_space=pltpu.SMEM),  # scalars
-        ],
+        in_specs=in_specs,
+        input_output_aliases=io_aliases,
         out_specs=[
             pl.BlockSpec((NSPEEDS, by, nx), lambda i: (0, i, 0),
                          memory_space=pltpu.VMEM),
@@ -307,9 +324,17 @@ def make_kstep(
             ohi.astype(jnp.float32),
         )
 
-    def chunk(f, halo_lo, halo_hi, aux, scal):
-        obst_f, olo_f, ohi_f = aux
-        f_out, av = call(f, halo_lo, halo_hi, obst_f, olo_f, ohi_f, scal)
-        return f_out, av[:, 0]
+    if alias_donor:
+        def chunk(f, halo_lo, halo_hi, aux, scal, donor):
+            obst_f, olo_f, ohi_f = aux
+            f_out, av = call(
+                donor, f, halo_lo, halo_hi, obst_f, olo_f, ohi_f, scal
+            )
+            return f_out, av[:, 0]
+    else:
+        def chunk(f, halo_lo, halo_hi, aux, scal):
+            obst_f, olo_f, ohi_f = aux
+            f_out, av = call(f, halo_lo, halo_hi, obst_f, olo_f, ohi_f, scal)
+            return f_out, av[:, 0]
 
     return prepare, chunk
