@@ -21,12 +21,22 @@ run:
 	$(PY) -m tpulbm data/input_$(DECK).params data/obstacles_$(DECK).dat --out-dir $(OUT)
 
 # Golden regression gate — the reference's `make check` (Makefile:19-20).
+# The 256x256 / 1024x1024 final_state goldens are stripped upstream
+# (reference .MISSING_LARGE_BLOBS); fall back to av_vels-only gating for
+# those decks, as scripts/acceptance.sh does.
 check: run
-	$(PY) -m tpulbm.validation.check \
-	  --ref-av-vels-file tests/goldens/$(DECK).av_vels.dat \
-	  --ref-final-state-file tests/goldens/$(DECK).final_state.dat \
-	  --av-vels-file $(OUT)/av_vels.dat \
-	  --final-state-file $(OUT)/final_state.dat
+	@if [ -f tests/goldens/$(DECK).final_state.dat ]; then \
+	  $(PY) -m tpulbm.validation.check \
+	    --ref-av-vels-file tests/goldens/$(DECK).av_vels.dat \
+	    --ref-final-state-file tests/goldens/$(DECK).final_state.dat \
+	    --av-vels-file $(OUT)/av_vels.dat \
+	    --final-state-file $(OUT)/final_state.dat; \
+	else \
+	  echo "final_state golden for $(DECK) stripped upstream; av_vels-only gate"; \
+	  $(PY) -m tpulbm.validation.check --av-vels-only \
+	    --ref-av-vels-file tests/goldens/$(DECK).av_vels.dat \
+	    --av-vels-file $(OUT)/av_vels.dat; \
+	fi
 
 bench:
 	$(PY) bench.py

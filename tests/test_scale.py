@@ -33,3 +33,30 @@ def test_4096_sharded_over_8_devices():
     assert np.all(np.isfinite(np.asarray(av))) and np.asarray(av)[0] > 0
     np.testing.assert_allclose(float(total_density(f)), m0, rtol=1e-4)
     assert len(f.sharding.device_set) == 8
+
+
+def test_4096_sharded_matches_single_device_oracle():
+    """Oracle-prefix correctness gate at scale: the 8-device sharded run's
+    av_vels series and full state match a 1-device run of the same steps
+    (decomposition invariance, the property the reference tests by running
+    the MPI binary at any -np against serial goldens — SURVEY.md section 4)."""
+    ny = nx = 4096
+    n_steps = 3
+    params = LBMParams(nx=nx, ny=ny, max_iters=n_steps, reynolds_dim=10,
+                       density=0.1, accel=0.01, omega=1.85)
+    mask = box_obstacles(ny, nx)
+    params = params.with_free_cells(ny * nx - int(mask.sum()))
+
+    mesh1 = get_mesh(n_devices=1)
+    f1, obst1 = shard_arrays(mesh1, initial_state(params), jnp.asarray(mask))
+    f1, av1 = make_runner(params, n_steps, mesh=mesh1, backend="jnp")(f1, obst1)
+
+    mesh8 = get_mesh(n_devices=8)
+    f8, obst8 = shard_arrays(mesh8, initial_state(params), jnp.asarray(mask))
+    f8, av8 = make_runner(params, n_steps, mesh=mesh8, backend="jnp")(f8, obst8)
+
+    # psum tree order may differ from the 1-device sum → tolerance, not bitwise
+    np.testing.assert_allclose(np.asarray(av8), np.asarray(av1), rtol=1e-5)
+    np.testing.assert_allclose(
+        np.asarray(f8), np.asarray(f1), rtol=1e-6, atol=1e-9
+    )

@@ -109,6 +109,33 @@ def check_results(
     return not (av_failed or fs_failed), av, fs
 
 
+def check_av_vels(
+    ref_av_vels: str,
+    av_vels: str,
+    tolerance: float = 1.0,
+    verbose: bool = True,
+):
+    """av_vels-only gate for decks whose final_state golden is stripped
+    upstream (reference .MISSING_LARGE_BLOBS). Returns (passed, av_diffs)."""
+    av_ref = np.loadtxt(ref_av_vels, usecols=[1])
+    av_sim = np.loadtxt(av_vels, usecols=[1])
+    if av_ref.size != av_sim.size:
+        raise ValueError("Different number of steps in av_vels files")
+    av = _diff_values(av_ref, av_sim)
+    av_failed = av.failed(tolerance)
+    if verbose:
+        print(f"Total difference in av_vels : {av.total:.12E}")
+        print(
+            f"Biggest difference (at step {av.max_diff_step:d}) : {av.max_diff:.12E}"
+        )
+        print(
+            f"  {av.sim_val:.12E} vs. {av.ref_val:.12E} = {av.max_diff_pcnt:.2g}%"
+        )
+        print()
+        print("av_vels failed check" if av_failed else "av_vels test passed!")
+    return not av_failed, av
+
+
 def main(argv=None) -> int:
     parser = argparse.ArgumentParser(
         description="Golden-results checker for tpulbm (reference-compatible)",
@@ -117,18 +144,35 @@ def main(argv=None) -> int:
     )
     parser.add_argument("--tolerance", nargs=1, default=[1], type=float)
     parser.add_argument("--ref-av-vels-file", nargs=1, required=True)
-    parser.add_argument("--ref-final-state-file", nargs=1, required=True)
+    parser.add_argument("--ref-final-state-file", nargs=1)
     parser.add_argument("--av-vels-file", nargs=1, required=True)
-    parser.add_argument("--final-state-file", nargs=1, required=True)
+    parser.add_argument("--final-state-file", nargs=1)
+    parser.add_argument(
+        "--av-vels-only", action="store_true",
+        help="gate on the av_vels series only (for decks whose final_state "
+        "golden is stripped upstream)",
+    )
     args = parser.parse_args(argv)
     try:
-        passed, _, _ = check_results(
-            args.ref_av_vels_file[0],
-            args.ref_final_state_file[0],
-            args.av_vels_file[0],
-            args.final_state_file[0],
-            tolerance=args.tolerance[0],
-        )
+        if args.av_vels_only:
+            passed, _ = check_av_vels(
+                args.ref_av_vels_file[0],
+                args.av_vels_file[0],
+                tolerance=args.tolerance[0],
+            )
+        else:
+            if not (args.ref_final_state_file and args.final_state_file):
+                parser.error(
+                    "--ref-final-state-file/--final-state-file required "
+                    "unless --av-vels-only"
+                )
+            passed, _, _ = check_results(
+                args.ref_av_vels_file[0],
+                args.ref_final_state_file[0],
+                args.av_vels_file[0],
+                args.final_state_file[0],
+                tolerance=args.tolerance[0],
+            )
     except ValueError as e:
         print(str(e))
         return 1
