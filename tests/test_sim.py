@@ -120,7 +120,9 @@ def test_cli_clean_errors(tmp_path, capsys):
     err = capsys.readouterr().err
     assert "blocked value" in err
 
-    assert main([PARAMS, OBST, "--device-count", "3"]) == 1
+    # an unaligned device count is no longer an error (padded path); asking
+    # for more devices than exist still dies cleanly
+    assert main([PARAMS, OBST, "--device-count", "9"]) == 1
     err = capsys.readouterr().err
     assert "devices" in err
 

@@ -96,6 +96,18 @@ def die(message: str) -> "int":
 def main(argv=None) -> int:
     args = build_parser().parse_args(argv)
 
+    import os
+
+    if os.environ.get("JAX_PLATFORMS"):
+        # Honor the standard env var even though this environment's
+        # sitecustomize selects a platform programmatically (which would
+        # otherwise shadow it) — e.g. JAX_PLATFORMS=cpu with
+        # XLA_FLAGS=--xla_force_host_platform_device_count=N drives the
+        # multi-device path without TPU hardware.
+        import jax
+
+        jax.config.update("jax_platforms", os.environ["JAX_PLATFORMS"])
+
     import dataclasses
 
     from tpulbm.dist.mesh import get_mesh

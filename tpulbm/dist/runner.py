@@ -34,6 +34,7 @@ from typing import Callable, Optional
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 from jax.sharding import Mesh, PartitionSpec as P
 
 from tpulbm.core.params import LBMParams
@@ -272,6 +273,115 @@ def _make_rdma_runner(
     return runner
 
 
+def _make_padded_runner(
+    params: LBMParams,
+    n_steps: int,
+    mesh: Mesh,
+    axis_name: str = AXIS,
+):
+    """Sharded runner for any (ny, n_devices): pad-to-divisible with masked
+    dead rows (SURVEY.md §7), the static-shape counterpart of the reference's
+    remainder-balanced any--np split (d2q9-bgk.c:834-862).
+
+    The grid is padded at the end to ``rows * n_dev`` rows; dead rows are
+    marked as obstacles (excluded from the av series, bounded by bounce-back)
+    and initialized to the rest equilibrium. Real shards 0..L form the halo
+    ring; shard L sends its *last real* row down to shard 0 (the periodic
+    wrap), and the received wrap row is placed immediately after each shard's
+    last real row before the pull, so row ny-1 pulls the true global row 0.
+    Acceleration happens before the halo capture so the scheme stays correct
+    even when global row ny-2 lands on a shard edge (the case the reference
+    excludes via its last-rank >=3-rows rule).
+    """
+    from jax.sharding import NamedSharding
+
+    from tpulbm.core.lattice import CX, CY, NSPEEDS, W0, W1 as LW1, W2 as LW2
+    from tpulbm.core import physics
+    from tpulbm.dist.sharding import padded_split
+
+    n_dev = mesh.devices.size
+    ny, nx = params.ny, params.nx
+    rows, ny_pad = padded_split(ny, n_dev)
+    pad = ny_pad - ny
+    last = (ny - 1) // rows  # last shard holding real rows
+    n_real = [min(max(ny - j * rows, 0), rows) for j in range(n_dev)]
+    perm_fwd = [(j, j + 1) for j in range(last)] + [(last, 0)]
+    perm_bwd = [(j + 1, j) for j in range(last)] + [(0, last)]
+    idx_last_real = jnp.asarray(
+        [max(r - 1, 0) for r in n_real], dtype=jnp.int32
+    )
+    n_real_arr = jnp.asarray(n_real, dtype=jnp.int32)
+    omega = float(params.omega)
+    w1 = float(params.accel_w1)
+    w2 = float(params.accel_w2)
+    free_inv = jnp.float32(params.free_cells_inv)
+    accel_glob = params.accel_row
+    rest = jnp.asarray(
+        np.array([W0, LW1, LW1, LW1, LW1, LW2, LW2, LW2, LW2], np.float32)
+        * np.float32(params.density),
+    )
+
+    def body(f_loc, obst_loc):
+        d = jax.lax.axis_index(axis_name)
+        r = accel_glob - d * rows
+        accel_row_local = jnp.where(
+            (r >= 0) & (r < rows), r, jnp.int32(-1)
+        ).astype(jnp.int32)
+        nr = n_real_arr[d]
+        send_idx = idx_last_real[d]
+
+        def one_step(f, _):
+            f = step_local.accelerate_local(f, obst_loc, accel_row_local, w1, w2)
+            last_real = jax.lax.dynamic_slice_in_dim(f, send_idx, 1, axis=1)
+            halo_lo = jax.lax.ppermute(last_real[:, 0, :], axis_name, perm_fwd)
+            halo_hi = jax.lax.ppermute(f[:, 0, :], axis_name, perm_bwd)
+            ext = jnp.concatenate(
+                [halo_lo[:, None, :], f, halo_hi[:, None, :]], axis=1
+            )
+            # Wrap row placed right after the last real row (a no-op for full
+            # shards, where 1 + nr is already the bottom-halo slot).
+            ext = jax.lax.dynamic_update_slice_in_dim(
+                ext, halo_hi[:, None, :], 1 + nr, axis=1
+            )
+            t = [
+                jnp.roll(ext[k, 1 - CY[k] : 1 - CY[k] + rows, :], CX[k], axis=1)
+                for k in range(NSPEEDS)
+            ]
+            out, speed = physics.collide(t, obst_loc, omega)
+            return jnp.stack(out), jnp.sum(speed, dtype=jnp.float32) * free_inv
+
+        f_out, av_local = jax.lax.scan(one_step, f_loc, None, length=n_steps)
+        return f_out, jax.lax.psum(av_local, axis_name)
+
+    sharded = jax.shard_map(
+        body,
+        mesh=mesh,
+        in_specs=(P(None, axis_name, None), P(axis_name, None)),
+        out_specs=(P(None, axis_name, None), P()),
+        check_vma=False,
+    )
+    f_spec = NamedSharding(mesh, P(None, axis_name, None))
+    o_spec = NamedSharding(mesh, P(axis_name, None))
+
+    @functools.partial(jax.jit, donate_argnums=0)
+    def runner(f, obstacles):
+        # Dead rows: rest equilibrium (strictly positive, so densities stay
+        # positive under pure bounce-back) and obstacle-masked.
+        f_pad = jnp.concatenate(
+            [f, jnp.broadcast_to(rest[:, None, None], (NSPEEDS, pad, nx))],
+            axis=1,
+        )
+        obst_pad = jnp.pad(
+            obstacles, ((0, pad), (0, 0)), constant_values=True
+        )
+        f_pad = jax.lax.with_sharding_constraint(f_pad, f_spec)
+        obst_pad = jax.lax.with_sharding_constraint(obst_pad, o_spec)
+        f_out, av = sharded(f_pad, obst_pad)
+        return f_out[:, :ny, :], av
+
+    return runner
+
+
 def _make_runner_2d(params: LBMParams, n_steps: int, mesh: Mesh):
     """Runner over a 2-D ('y', 'x') torus mesh: both grid axes sharded, with
     a two-phase width-1 halo exchange per step (columns first, then rows of
@@ -375,9 +485,20 @@ def make_runner(
             )
         return _make_runner_2d(params, n_steps, mesh)
     n_dev = mesh.devices.size
-    rows_local = validate_even_split(params.ny, n_dev)
     requested = backend
     backend = _select_backend(backend)
+    if params.ny % n_dev != 0 or params.ny // n_dev < 3:
+        if n_dev == 1:
+            # ny < 3 on one device is physically degenerate; keep the error.
+            validate_even_split(params.ny, n_dev)
+        if requested not in ("auto", "jnp"):
+            raise ValueError(
+                f"backend {requested!r} needs ny={params.ny} to split evenly "
+                f"into >=3-row shards over {n_dev} devices; the padded "
+                "any-shape path runs under backend='auto' or 'jnp'"
+            )
+        return _make_padded_runner(params, n_steps, mesh, axis_name)
+    rows_local = params.ny // n_dev
     if backend == "pallas-rdma":
         return _make_rdma_runner(params, n_steps, mesh, axis_name)
     if backend == "pallas":

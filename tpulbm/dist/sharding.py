@@ -47,6 +47,19 @@ def decompose_rows(ny: int, n_ranks: int) -> Tuple[List[int], List[int]]:
     return ny_local, displs
 
 
+def padded_split(ny: int, n_devices: int) -> Tuple[int, int]:
+    """(rows_per_shard, ny_pad) for the pad-to-divisible policy (SURVEY §7).
+
+    Any ny runs on any device count — the TPU counterpart of the reference's
+    any ``-np`` remainder-balanced split (d2q9-bgk.c:834-862) — by padding the
+    grid to ``rows_per_shard * n_devices`` rows with masked dead rows, keeping
+    every shard shape static and identical for XLA. Shards are at least 3 rows
+    tall (same motivation as the reference's last-rank >=3-rows rule).
+    """
+    rows = max(3, -(-ny // n_devices))
+    return rows, rows * n_devices
+
+
 def validate_even_split(ny: int, n_devices: int) -> int:
     """Rows per device for the even split used on TPU; raises if invalid."""
     if ny % n_devices != 0:
@@ -89,5 +102,15 @@ def row_sharding(mesh: Mesh, axis_name: str = "y"):
 
 
 def shard_arrays(mesh: Mesh, f, obstacles, axis_name: str = "y"):
+    if (
+        len(mesh.axis_names) == 1
+        and f.shape[1] % mesh.devices.size != 0
+    ):
+        # Uneven ny: device_put can't row-shard it. Leave the arrays
+        # unsharded — the padded runner pads to divisible and installs the
+        # sharding inside jit (with_sharding_constraint).
+        import jax.numpy as jnp
+
+        return jnp.asarray(f), jnp.asarray(obstacles)
     state_s, mask_s = row_sharding(mesh, axis_name)
     return jax.device_put(f, state_s), jax.device_put(obstacles, mask_s)

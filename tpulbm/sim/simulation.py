@@ -64,8 +64,8 @@ class Simulation:
             dy, dx = self.mesh.devices.shape
             validate_even_split(params.ny, dy)
             validate_even_col_split(params.nx, dx)
-        else:
-            validate_even_split(params.ny, self.mesh.devices.size)
+        # 1-D meshes accept any (ny, n_devices): uneven shapes route to the
+        # padded masked-dead-rows runner (dist/runner._make_padded_runner).
         obst = jnp.asarray(np.asarray(obstacles, dtype=bool))
         f = initial_state(params)
         self.f, self.obstacles = shard_arrays(self.mesh, f, obst)
