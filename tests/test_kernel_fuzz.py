@@ -96,3 +96,13 @@ def test_random_config_kstep2d_tier(monkeypatch):
     np.testing.assert_allclose(np.asarray(f), np.asarray(f_ref),
                                rtol=0, atol=1e-6)
     np.testing.assert_allclose(np.asarray(av), np.asarray(av_ref), rtol=3e-5)
+
+
+@pytest.fixture(autouse=True)
+def _canonical_feq(monkeypatch):
+    """Bitwise kernel-vs-oracle differentials run the canonical equilibrium
+    form; the production pair-symmetric config is tolerance-gated in
+    test_pair_symmetric.py (see core/physics.equilibrium)."""
+    from tpulbm.ops import window_step
+
+    monkeypatch.setattr(window_step, "PAIR_SYMMETRIC_DEFAULT", False)

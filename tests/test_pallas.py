@@ -114,3 +114,13 @@ def test_supported_predicate():
     assert ps.supported(1024, 1024)
     assert not ps.supported(100, 128)   # rows not divisible by 8-multiples
     assert not ps.supported(128, 100)   # lanes not a multiple of 128
+
+
+@pytest.fixture(autouse=True)
+def _canonical_feq(monkeypatch):
+    """Bitwise kernel-vs-oracle differentials run the canonical equilibrium
+    form; the production pair-symmetric config is tolerance-gated in
+    test_pair_symmetric.py (see core/physics.equilibrium)."""
+    from tpulbm.ops import window_step
+
+    monkeypatch.setattr(window_step, "PAIR_SYMMETRIC_DEFAULT", False)

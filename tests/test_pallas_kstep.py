@@ -35,6 +35,25 @@ def test_kstep_matches_oracle(params_128, n_dev, k):
     assert av.shape == (n,)
 
 
+@pytest.mark.parametrize("n_dev,n", [
+    (1, 16),  # one ping-pong pair
+    (1, 24),  # odd chunk count: plain head + one pair
+    (4, 43),  # pairs + plain head + remainder chunk, over the ring
+])
+def test_kstep_alias_donor_matches_oracle(params_128, n_dev, n):
+    """The donor-aliased stationary ping-pong (production default: removes
+    the scan-carry copy) is bitwise-equal to the oracle."""
+    params, mask = params_128
+    obst = jnp.asarray(mask)
+    f_ref, av_ref = run_steps(initial_state(params), obst, params, n)
+    runner = _make_kstep_runner(params, n, get_mesh(n_devices=n_dev), 8,
+                                alias_donor=True)
+    f, av = runner(initial_state(params), obst)
+    assert np.array_equal(np.asarray(f), np.asarray(f_ref))
+    np.testing.assert_allclose(np.asarray(av), np.asarray(av_ref), rtol=2e-5)
+    assert av.shape == (n,)
+
+
 def test_kstep_multiblock_shard(params_128, monkeypatch):
     """Force several blocks per shard (small BY) to hit every DMA case."""
     monkeypatch.setattr(pk, "_BLOCK_BUDGET", 24 * 128)  # BY=8 -> win=24
@@ -111,3 +130,13 @@ def test_alias_donor_variant_matches(params_128):
     f_ref, av_ref = run_steps(initial_state(params), obst, params, 24)
     assert np.array_equal(np.asarray(f), np.asarray(f_ref))
     np.testing.assert_allclose(np.asarray(av), np.asarray(av_ref), rtol=2e-6)
+
+
+@pytest.fixture(autouse=True)
+def _canonical_feq(monkeypatch):
+    """Bitwise kernel-vs-oracle differentials run the canonical equilibrium
+    form; the production pair-symmetric config is tolerance-gated in
+    test_pair_symmetric.py (see core/physics.equilibrium)."""
+    from tpulbm.ops import window_step
+
+    monkeypatch.setattr(window_step, "PAIR_SYMMETRIC_DEFAULT", False)

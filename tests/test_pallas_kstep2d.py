@@ -50,3 +50,13 @@ def test_supported_and_tile():
     assert not pk2.supported(4096, 4096, 9)
     by, bx = pk2.pick_tile(4096, 4096)
     assert 4096 % by == 0 and 4096 % bx == 0 and bx % 128 == 0
+
+
+@pytest.fixture(autouse=True)
+def _canonical_feq(monkeypatch):
+    """Bitwise kernel-vs-oracle differentials run the canonical equilibrium
+    form; the production pair-symmetric config is tolerance-gated in
+    test_pair_symmetric.py (see core/physics.equilibrium)."""
+    from tpulbm.ops import window_step
+
+    monkeypatch.setattr(window_step, "PAIR_SYMMETRIC_DEFAULT", False)

@@ -67,3 +67,13 @@ def test_rdma_reordered_multiblock_schedule(params_128, monkeypatch):
         assert np.array_equal(np.asarray(f), np.asarray(f_ref)), n_dev
         np.testing.assert_allclose(np.asarray(av), np.asarray(av_ref),
                                    rtol=2e-5)
+
+
+@pytest.fixture(autouse=True)
+def _canonical_feq(monkeypatch):
+    """Bitwise kernel-vs-oracle differentials run the canonical equilibrium
+    form; the production pair-symmetric config is tolerance-gated in
+    test_pair_symmetric.py (see core/physics.equilibrium)."""
+    from tpulbm.ops import window_step
+
+    monkeypatch.setattr(window_step, "PAIR_SYMMETRIC_DEFAULT", False)

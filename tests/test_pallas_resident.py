@@ -50,3 +50,13 @@ def test_supported_predicate():
     assert not pallas_resident.supported(1024, 1024)  # too big for VMEM
     assert not pallas_resident.supported(128, 100)    # lane misaligned
     assert not pallas_resident.supported(100, 128)    # sublane misaligned
+
+
+@pytest.fixture(autouse=True)
+def _canonical_feq(monkeypatch):
+    """Bitwise kernel-vs-oracle differentials run the canonical equilibrium
+    form; the production pair-symmetric config is tolerance-gated in
+    test_pair_symmetric.py (see core/physics.equilibrium)."""
+    from tpulbm.ops import window_step
+
+    monkeypatch.setattr(window_step, "PAIR_SYMMETRIC_DEFAULT", False)

@@ -114,10 +114,18 @@ def _make_kstep_runner(
     k: int,
     axis_name: str = AXIS,
     maker=None,
+    alias_donor: bool = False,
 ):
     """Runner over a K-step temporal-blocking kernel (1-D row blocks, or 2-D
     row-x-column tiles for wide grids): K fused timesteps per HBM pass, halo
-    slabs of K rows exchanged once per K steps."""
+    slabs of K rows exchanged once per K steps.
+
+    ``alias_donor=True`` removes the scan-carry copy (xprof: ~6 us/step at
+    1024^2): each scan iteration advances TWO chunks through a stationary
+    ping-pong — g -> scratch-buffer, then -> g's buffer — with the kernel's
+    input_output_aliases pinning each output into the donated buffer, so both
+    scan carries keep a fixed buffer assignment and XLA inserts no copies.
+    """
     from tpulbm.ops import pallas_kstep
 
     if maker is None:
@@ -130,7 +138,11 @@ def _make_kstep_runner(
         h, params.nx, ny_global=params.ny, omega=params.omega,
         accel_w1=params.accel_w1, accel_w2=params.accel_w2,
     )
-    prepare, chunk_k = mk(k_steps=k)
+    if alias_donor:
+        prepare, chunk_k = mk(k_steps=k, alias_donor=True)
+        _, chunk_plain = mk(k_steps=k)
+    else:
+        prepare, chunk_k = mk(k_steps=k)
     chunk_r = mk(k_steps=rem)[1] if rem else None
     free_inv = jnp.float32(params.free_cells_inv)
     accel_glob = params.accel_row
@@ -146,13 +158,36 @@ def _make_kstep_runner(
 
         aux_k = aux_for(k)
 
-        def body(g, _):
-            hlo, hhi = psl(g, k)
-            g2, av = chunk_k(g, hlo, hhi, aux_k, scal)
-            return g2, av * free_inv
+        if alias_donor:
+            n_pairs, odd = divmod(n_outer, 2)
+            av_head = None
+            if odd:
+                hlo, hhi = psl(f, k)
+                f, av0 = chunk_plain(f, hlo, hhi, aux_k, scal)
+                av_head = av0 * free_inv
 
-        f_out, avs = jax.lax.scan(body, f, None, length=n_outer)
-        av = avs.reshape(-1)
+            def body(carry, _):
+                g, scratch = carry
+                hlo, hhi = psl(g, k)
+                t1, av1 = chunk_k(g, hlo, hhi, aux_k, scal, scratch)
+                hlo, hhi = psl(t1, k)
+                t2, av2 = chunk_k(t1, hlo, hhi, aux_k, scal, g)
+                return (t2, t1), jnp.concatenate([av1, av2]) * free_inv
+
+            (f_out, _), avs = jax.lax.scan(
+                body, (f, jnp.zeros_like(f)), None, length=n_pairs
+            )
+            av = avs.reshape(-1)
+            if av_head is not None:
+                av = jnp.concatenate([av_head, av])
+        else:
+            def body(g, _):
+                hlo, hhi = psl(g, k)
+                g2, av = chunk_k(g, hlo, hhi, aux_k, scal)
+                return g2, av * free_inv
+
+            f_out, avs = jax.lax.scan(body, f, None, length=n_outer)
+            av = avs.reshape(-1)
         if chunk_r is not None:
             hlo, hhi = psl(f_out, rem)
             f_out, av_r = chunk_r(f_out, hlo, hhi, aux_for(rem), scal)
@@ -510,7 +545,9 @@ def make_runner(
             return _make_resident_runner(params, n_steps)
         k = min(pallas_kstep.MAX_K, n_steps)
         if pallas_kstep.supported(rows_local, params.nx, k):
-            return _make_kstep_runner(params, n_steps, mesh, k, axis_name)
+            return _make_kstep_runner(
+                params, n_steps, mesh, k, axis_name, alias_donor=True
+            )
         from tpulbm.ops import pallas_kstep2d
 
         if pallas_kstep2d.supported(rows_local, params.nx, k):

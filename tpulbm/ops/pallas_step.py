@@ -198,7 +198,11 @@ def _kernel(
 
     # -- BGK collision + bounce-back + |u| partial (d2q9-bgk.c:542-700) -----
     blocked = obst_ref[:] != zero
-    out, speed = physics.collide(t, blocked, omega)
+    from tpulbm.ops import window_step
+
+    out, speed = physics.collide(
+        t, blocked, omega, window_step.PAIR_SYMMETRIC_DEFAULT
+    )
     for k in range(NSPEEDS):
         out_ref[k] = out[k]
     part = jnp.sum(speed, dtype=jnp.float32)

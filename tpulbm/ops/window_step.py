@@ -10,7 +10,7 @@ body, written once; the kernels own only their data movement.
 
 from __future__ import annotations
 
-from typing import List, Tuple
+from typing import List, Optional, Tuple
 
 import jax.numpy as jnp
 import numpy as np
@@ -18,6 +18,13 @@ from jax.experimental.pallas import tpu as pltpu
 
 from tpulbm.core.lattice import CX, CY, NSPEEDS
 from tpulbm.core import physics
+
+# Production equilibrium form for all window kernels (read at trace time).
+# True = pair-symmetric (~10% fewer flops; tolerance-tier tested); the
+# bitwise kernel-vs-oracle differential tests flip this to False, where the
+# kernels are bitwise-equal to the canonical jnp oracle (see
+# core/physics.equilibrium).
+PAIR_SYMMETRIC_DEFAULT = True
 
 
 def fused_window_steps(
@@ -29,6 +36,7 @@ def fused_window_steps(
     w1: float,
     w2: float,
     owned: Tuple[slice, slice],
+    pair_symmetric: Optional[bool] = None,
 ):
     """Runs ``k_steps`` fused lattice steps on window values ``w`` (nine
     (H, W) planes). ``accel_sel`` selects the accelerated row's cells
@@ -38,6 +46,8 @@ def fused_window_steps(
     Returns (w_final, parts) with ``parts`` a list of ``k_steps`` float32
     scalars.
     """
+    if pair_symmetric is None:
+        pair_symmetric = PAIR_SYMMETRIC_DEFAULT
     zero = np.float32(0.0)
     w1f = np.float32(w1)
     w2f = np.float32(w2)
@@ -68,7 +78,7 @@ def fused_window_steps(
             if CX[c] != 0:
                 v = pltpu.roll(v, CX[c] % wx, 1)
             t.append(v)
-        w, speed = physics.collide(t, blocked, omega)
+        w, speed = physics.collide(t, blocked, omega, pair_symmetric)
         parts.append(
             jnp.sum(speed[owned[0], owned[1]], dtype=jnp.float32)
         )
