@@ -35,7 +35,9 @@ MAX_K = _MY
 _WINDOW_BUDGET = 40 * 1024
 
 
-def pick_tile(h: int, nx: int) -> Optional[Tuple[int, int]]:
+def pick_tile(
+    h: int, nx: int, budget: int = _WINDOW_BUDGET
+) -> Optional[Tuple[int, int]]:
     """(BY, BX) minimizing the window/owned overhead ratio within the
     window budget (the kernel is compute-bound, and both the redundant
     recompute and the extra read scale with that ratio); ties break toward
@@ -49,7 +51,7 @@ def pick_tile(h: int, nx: int) -> Optional[Tuple[int, int]]:
             if nx % bx:
                 continue
             window = (by + 2 * _MY) * (bx + 2 * _MX)
-            if window > _WINDOW_BUDGET:
+            if window > budget:
                 continue
             key = (window / (by * bx), -by * bx)
             if best_key is None or key < best_key:
@@ -259,14 +261,18 @@ def make_kstep2d(
     accel_w1: float,
     accel_w2: float,
     interpret: Optional[bool] = None,
+    tile: Optional[Tuple[int, int]] = None,
 ):
     """Same contract as pallas_kstep.make_kstep: returns (prepare, chunk)."""
-    tile = pick_tile(h, nx)
+    if tile is None:
+        tile = pick_tile(h, nx)
     if tile is None or not supported(h, nx, k_steps):
         raise ValueError(
             f"kstep2d unsupported for local shape ({h}, {nx}), K={k_steps}"
         )
     by, bx = tile
+    if h % by or nx % bx:
+        raise ValueError(f"tile {tile} does not divide local shape ({h}, {nx})")
     if interpret is None:
         interpret = jax.devices()[0].platform == "cpu"
 
