@@ -47,6 +47,11 @@ def test_torus_rejects_thin_columns():
 
 
 def test_torus_rejects_pallas_backend(params_128):
+    """pallas now has a torus tier (test_torus_kstep.py); shapes it can't
+    tile (w < 128 columns/shard here) still get a clean error, and
+    pallas-rdma stays 1-D-only."""
     params, _ = params_128
-    with pytest.raises(ValueError, match="2-D mesh"):
+    with pytest.raises(ValueError, match="torus shard shape"):
         make_runner(params, 2, mesh=get_mesh_2d(2, 4), backend="pallas")
+    with pytest.raises(ValueError, match="pallas-rdma"):
+        make_runner(params, 2, mesh=get_mesh_2d(2, 4), backend="pallas-rdma")

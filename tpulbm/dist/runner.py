@@ -417,6 +417,134 @@ def _make_padded_runner(
     return runner
 
 
+_XPAD = 128  # lane-aligned x-halo pad of the torus kstep local block
+
+
+def _make_runner_2d_kstep(params: LBMParams, n_steps: int, mesh: Mesh, k: int):
+    """Pallas K-step compute on the 2-D ('y', 'x') torus mesh.
+
+    Each shard owns an (h, w) block. Every K steps it runs the corner-carrying
+    two-phase slab exchange at K-step granularity — K-wide column slabs over
+    the x ring, then K-row slabs of the x-extended block over the y ring — and
+    advances K fused steps with the 1-D kstep window kernel over an x-extended
+    (h, w+256) local array: the K valid halo columns sit immediately adjacent
+    to the owned ones inside 128-wide lane-aligned pads, so the kernel's
+    in-window x wrap only ever feeds garbage into margins the temporal-blocking
+    analysis already absorbs (see pallas_kstep.make_kstep owned_cols).
+
+    This turns the decomposition the reference's report declined for layout
+    reasons (report.odt "MPI Design") into a fused-kernel path: 2 collectives
+    per K steps instead of 2 per step, and one HBM pass per K steps.
+    """
+    from tpulbm.ops import pallas_kstep
+
+    ay, ax = mesh.axis_names
+    dy, dx = mesh.devices.shape
+    h = validate_even_split(params.ny, dy)
+    w = validate_even_col_split(params.nx, dx)
+    nxe = w + 2 * _XPAD
+    n_outer, rem = divmod(n_steps, k)
+    mk = functools.partial(
+        pallas_kstep.make_kstep,
+        h, nxe, ny_global=params.ny, omega=params.omega,
+        accel_w1=params.accel_w1, accel_w2=params.accel_w2,
+        owned_cols=(_XPAD, w),
+    )
+    prepare, chunk_k = mk(k_steps=k)
+    chunk_r = mk(k_steps=rem)[1] if rem else None
+    free_inv = jnp.float32(params.free_cells_inv)
+    accel_glob = params.accel_row
+    perm = {
+        a: (
+            [(i, (i + 1) % n) for i in range(n)],
+            [(i, (i - 1) % n) for i in range(n)],
+        )
+        for a, n in ((ay, dy), (ax, dx))
+    }
+
+    def extend(g, kk):
+        """(x-extended block, y halo slabs of it) carrying corners."""
+        fwd, bwd = perm[ax]
+        xlo = jax.lax.ppermute(g[..., -kk:], ax, fwd)
+        xhi = jax.lax.ppermute(g[..., :kk], ax, bwd)
+        pad = [(0, 0)] * (g.ndim - 1)
+        ext = jnp.concatenate(
+            [
+                jnp.pad(xlo, pad + [(_XPAD - kk, 0)]),
+                g,
+                jnp.pad(xhi, pad + [(0, _XPAD - kk)]),
+            ],
+            axis=-1,
+        )
+        fwd, bwd = perm[ay]
+        ylo = jax.lax.ppermute(
+            jax.lax.slice_in_dim(ext, h - kk, h, axis=-2), ay, fwd
+        )
+        yhi = jax.lax.ppermute(
+            jax.lax.slice_in_dim(ext, 0, kk, axis=-2), ay, bwd
+        )
+        return ext, ylo, yhi
+
+    def body_sharded(f_loc, obst_loc):
+        d = jax.lax.axis_index(ay)
+        scal = jnp.stack(
+            [jnp.int32(accel_glob), (d * h).astype(jnp.int32)]
+        ).reshape(1, 2)
+        obst_f = obst_loc.astype(jnp.float32)
+
+        def aux_for(kk):
+            oext, olo, ohi = extend(obst_f, kk)
+            return (oext, olo, ohi)
+
+        aux_k = aux_for(k)
+
+        def one(g, _):
+            ext, ylo, yhi = extend(g, k)
+            g2, av = chunk_k(ext, ylo, yhi, aux_k, scal)
+            return g2, av * free_inv
+
+        f_out, avs = jax.lax.scan(one, f_loc, None, length=n_outer)
+        av = avs.reshape(-1)
+        if chunk_r is not None:
+            ext, ylo, yhi = extend(f_out, rem)
+            f_out, av_r = chunk_r(ext, ylo, yhi, aux_for(rem), scal)
+            av = jnp.concatenate([av, av_r * free_inv])
+        return f_out, jax.lax.psum(jax.lax.psum(av, ay), ax)
+
+    sharded = jax.shard_map(
+        body_sharded,
+        mesh=mesh,
+        in_specs=(P(None, ay, ax), P(ay, ax)),
+        out_specs=(P(None, ay, ax), P()),
+        check_vma=False,
+    )
+
+    @functools.partial(jax.jit, donate_argnums=0)
+    def runner(f, obstacles):
+        return sharded(f, obstacles)
+
+    return runner
+
+
+def supported_2d_kstep(params: LBMParams, mesh: Mesh, k: int) -> bool:
+    from tpulbm.ops import pallas_kstep
+
+    dy, dx = mesh.devices.shape
+    if params.ny % dy or params.nx % dx:
+        return False
+    h = params.ny // dy
+    w = params.nx // dx
+    return (
+        w % 128 == 0
+        and w >= 128
+        and h >= 3
+        and pallas_kstep.supported(h, w + 2 * _XPAD, min(k, MAX_K_2D))
+    )
+
+
+MAX_K_2D = 8
+
+
 def _make_runner_2d(params: LBMParams, n_steps: int, mesh: Mesh):
     """Runner over a 2-D ('y', 'x') torus mesh: both grid axes sharded, with
     a two-phase width-1 halo exchange per step (columns first, then rows of
@@ -513,11 +641,23 @@ def make_runner(
     if mesh is None:
         mesh = get_mesh(axis_name=axis_name)
     if len(mesh.axis_names) == 2:
-        if backend not in ("auto", "jnp"):
+        if backend == "pallas-rdma":
             raise ValueError(
-                "the 2-D torus decomposition currently uses the jnp compute "
-                f"path; backend={backend!r} is not available on a 2-D mesh"
+                "backend='pallas-rdma' is not available on a 2-D mesh "
+                "(use 'pallas', 'jnp' or 'auto')"
             )
+        sel = _select_backend(backend)
+        k2 = min(MAX_K_2D, n_steps)
+        if sel == "pallas":
+            if supported_2d_kstep(params, mesh, k2):
+                return _make_runner_2d_kstep(params, n_steps, mesh, k2)
+            if backend == "pallas":
+                dy, dx = mesh.devices.shape
+                raise ValueError(
+                    f"pallas backend unsupported for torus shard shape "
+                    f"({params.ny // dy if params.ny % dy == 0 else '?'}, "
+                    f"{params.nx // dx if params.nx % dx == 0 else '?'})"
+                )
         return _make_runner_2d(params, n_steps, mesh)
     n_dev = mesh.devices.size
     requested = backend

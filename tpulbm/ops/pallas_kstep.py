@@ -87,7 +87,11 @@ def _kernel(
     w1: float,
     w2: float,
     slots: int = 2,
+    ox: int = 0,
+    ow: int = 0,
 ):
+    if ow == 0:
+        ow = nx
     m = _MARGIN
     win = by + 2 * m
     i = pl.program_id(0)
@@ -206,7 +210,7 @@ def _kernel(
     # -- K fused steps, constant window shape (see ops.window_step) ---------
     w, parts = fused_window_steps(
         w, blocked, accel_sel, k_steps, omega, w1, w2,
-        owned=(slice(m, m + by), slice(None)),
+        owned=(slice(m, m + by), slice(ox, ox + ow)),
     )
     for s, part in enumerate(parts):
         @pl.when(i == 0)
@@ -218,7 +222,7 @@ def _kernel(
             acc[s, 0] += part
 
     for c in range(NSPEEDS):
-        out_ref[c] = w[c][m : m + by, :]
+        out_ref[c] = w[c][m : m + by, ox : ox + ow]
 
     @pl.when(i == n - 1)
     def _():
@@ -238,6 +242,7 @@ def make_kstep(
     by: Optional[int] = None,
     slots: int = 2,
     alias_donor: bool = False,
+    owned_cols: Optional[tuple] = None,
 ):
     """Returns ``(prepare, chunk)``:
 
@@ -245,6 +250,12 @@ def make_kstep(
     ``chunk(f, halo_lo, halo_hi, aux, scal) -> (f', av_sums[k_steps])``
     advances k_steps timesteps. ``scal`` is an int32 (1, 2) array holding
     [global accel row, shard global row offset]; halos are (9, K, nx).
+
+    ``owned_cols=(ox, ow)`` restricts the output (and |u| sums) to window
+    columns [ox, ox+ow) — used by the torus runner, whose local array is an
+    x-halo-extended block: the in-window x roll then wraps garbage into the
+    margins instead of the real torus, which the margin analysis absorbs for
+    K <= 8 as long as >= K valid halo columns sit adjacent to the owned ones.
     """
     if by is None:
         by = pick_block_rows(h, nx)
@@ -255,11 +266,14 @@ def make_kstep(
     if interpret is None:
         interpret = jax.devices()[0].platform == "cpu"
     n_blocks = h // by
+    ox, ow = owned_cols if owned_cols is not None else (0, nx)
+    if ox % 128 or ow % 128 or ox + ow > nx:
+        raise ValueError(f"owned_cols {owned_cols} must be 128-aligned and in range")
 
     kernel = functools.partial(
         _kernel, by=by, nx=nx, h=h, k_steps=k_steps, ny_global=ny_global,
         omega=float(omega), w1=float(accel_w1), w2=float(accel_w2),
-        slots=slots,
+        slots=slots, ox=ox, ow=ow,
     )
 
     in_specs = [
@@ -291,12 +305,12 @@ def make_kstep(
         in_specs=in_specs,
         input_output_aliases=io_aliases,
         out_specs=[
-            pl.BlockSpec((NSPEEDS, by, nx), lambda i: (0, i, 0),
+            pl.BlockSpec((NSPEEDS, by, ow), lambda i: (0, i, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec(memory_space=pltpu.SMEM),
         ],
         out_shape=[
-            jax.ShapeDtypeStruct((NSPEEDS, h, nx), jnp.float32),
+            jax.ShapeDtypeStruct((NSPEEDS, h, ow), jnp.float32),
             jax.ShapeDtypeStruct((k_steps, 1), jnp.float32),
         ],
         scratch_shapes=[

@@ -36,12 +36,14 @@ _WINDOW_BUDGET = 40 * 1024
 
 
 def pick_tile(
-    h: int, nx: int, budget: int = _WINDOW_BUDGET
+    h: int, nx: int, budget: Optional[int] = None
 ) -> Optional[Tuple[int, int]]:
     """(BY, BX) minimizing the window/owned overhead ratio within the
     window budget (the kernel is compute-bound, and both the redundant
     recompute and the extra read scale with that ratio); ties break toward
     larger owned area (fewer programs)."""
+    if budget is None:
+        budget = _WINDOW_BUDGET  # module global: resolved at call time
     best = None
     best_key = None
     for by in range(8, min(h, 256) + 1, 8):
