@@ -1,0 +1,81 @@
+"""Multi-host (DCN) scaffolding: mesh builder units + a REAL 2-process run.
+
+The reference's multi-node path could only be tested by submitting to the
+cluster (mpi_submit). Here jax.distributed + gloo lets the test spawn two
+actual processes x 4 virtual CPU devices each and drive the full CLI through
+the group — coordinator bootstrap, global 8-device ring, cross-process
+collectives, process-0 output gathering."""
+
+import os
+import subprocess
+import sys
+
+import numpy as np
+import pytest
+
+from tpulbm.dist import multihost
+
+
+def test_init_distributed_noop_single_process(monkeypatch):
+    for var in ("TPULBM_COORDINATOR", "TPULBM_NUM_PROCS", "TPULBM_PROC_ID",
+                "JAX_COORDINATOR_ADDRESS"):
+        monkeypatch.delenv(var, raising=False)
+    assert multihost.init_distributed() is False
+    assert multihost.init_distributed(num_processes=1) is False
+
+
+def test_global_ring_mesh_single_process():
+    mesh = multihost.global_ring_mesh()
+    assert mesh.devices.size == 8  # the conftest virtual mesh
+    assert mesh.axis_names == ("y",)
+    # host-contiguous ordering (trivially true single-process)
+    procs = [d.process_index for d in mesh.devices.flat]
+    assert procs == sorted(procs)
+
+
+def test_gather_to_host_single_process():
+    import jax.numpy as jnp
+
+    out = multihost.gather_to_host(jnp.arange(6).reshape(2, 3))
+    assert isinstance(out, np.ndarray) and out.shape == (2, 3)
+    assert multihost.is_output_process()
+
+
+@pytest.mark.slow
+def test_two_process_cli_matches_single_process(tmp_path):
+    """scripts/launch_multihost.sh --local-smoke 2x4: byte-identical
+    final_state vs a single-process 8-device run; av series equal up to
+    reduction order."""
+    env = dict(os.environ)
+    env.pop("JAX_PLATFORMS", None)
+    env["PYTHONPATH"] = os.pathsep.join(
+        ["/root/repo"] + env.get("PYTHONPATH", "").split(os.pathsep)
+    )
+    deck = ["data/input_128x128.params", "data/obstacles_128x128.dat",
+            "--max-iters", "60", "--backend", "jnp"]
+    mh = tmp_path / "mh"
+    proc = subprocess.run(
+        ["bash", "scripts/launch_multihost.sh", "--local-smoke", "2x4",
+         *deck, "--out-dir", str(mh)],
+        capture_output=True, text=True, env=env, cwd="/root/repo",
+        timeout=600,
+    )
+    assert proc.returncode == 0, proc.stderr[-3000:]
+
+    sp = tmp_path / "sp"
+    env_sp = dict(env, JAX_PLATFORMS="cpu",
+                  XLA_FLAGS="--xla_force_host_platform_device_count=8")
+    proc = subprocess.run(
+        [sys.executable, "-m", "tpulbm", *deck,
+         "--device-count", "8", "--out-dir", str(sp)],
+        capture_output=True, text=True, env=env_sp, cwd="/root/repo",
+        timeout=600,
+    )
+    assert proc.returncode == 0, proc.stderr[-3000:]
+
+    assert (mh / "final_state.dat").read_text() == (
+        sp / "final_state.dat"
+    ).read_text()
+    a = np.loadtxt(mh / "av_vels.dat", usecols=[1])
+    b = np.loadtxt(sp / "av_vels.dat", usecols=[1])
+    np.testing.assert_allclose(a, b, rtol=1e-5)

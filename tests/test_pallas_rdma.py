@@ -33,17 +33,45 @@ def test_rdma_runner_matches_oracle(params_128, n_dev, n_steps):
     np.testing.assert_allclose(np.asarray(av), np.asarray(av_ref), rtol=2e-5)
 
 
-def test_rdma_requires_multiple_devices(params_128):
-    params, _ = params_128
-    with pytest.raises(ValueError, match="rdma"):
-        make_runner(params, 8, get_mesh(n_devices=1), backend="pallas-rdma")
+def test_rdma_single_device_falls_back(params_128, capsys):
+    """Unsupported rdma shapes fall back to the ppermute runner with a
+    warning instead of raising (r1 review item 8)."""
+    params, mask = params_128
+    obst = jnp.asarray(mask)
+    n = 10
+    f_ref, av_ref = run_steps(initial_state(params), obst, params, n)
+    runner = make_runner(params, n, get_mesh(n_devices=1),
+                         backend="pallas-rdma")
+    err = capsys.readouterr().err
+    assert "falling back" in err
+    f, av = runner(initial_state(params), obst)
+    assert np.array_equal(np.asarray(f), np.asarray(f_ref))
+    np.testing.assert_allclose(np.asarray(av), np.asarray(av_ref), rtol=2e-5)
+
+
+@pytest.mark.parametrize("n_steps", [5, 8])
+def test_rdma_short_runs_native(params_128, n_steps):
+    """n_steps <= 8 runs the rdma kernel natively with K = n_steps (the RDMA
+    slab stays the aligned 8-row margin; the kernel value-slices the needed
+    K halo rows)."""
+    params, mask = params_128
+    obst = jnp.asarray(mask)
+    f_ref, av_ref = run_steps(initial_state(params), obst, params, n_steps)
+    runner = make_runner(params, n_steps, get_mesh(n_devices=2),
+                         backend="pallas-rdma")
+    f, av = runner(initial_state(params), obst)
+    assert np.array_equal(np.asarray(f), np.asarray(f_ref))
+    np.testing.assert_allclose(np.asarray(av), np.asarray(av_ref), rtol=2e-5)
+    assert av.shape == (n_steps,)
 
 
 def test_supported_predicate():
     assert pkr.supported(128, 128, 8, 2)
-    assert not pkr.supported(128, 128, 4, 2)   # slab must equal the margin
+    assert pkr.supported(128, 128, 4, 2)       # variable K <= margin
+    assert not pkr.supported(128, 128, 9, 2)
     assert not pkr.supported(128, 128, 8, 1)   # needs a ring
     assert not pkr.supported(128, 100, 8, 2)
+    assert not pkr.supported(20, 128, 8, 2)    # h must be 8-row aligned
 
 
 def test_rdma_reordered_multiblock_schedule(params_128, monkeypatch):

@@ -44,7 +44,16 @@ def build_parser() -> argparse.ArgumentParser:
         default=None,
         metavar="DYxDX",
         help="2-D torus mesh: shard BOTH grid axes, e.g. 2x4 "
-             "(overrides --device-count; jnp compute path)",
+             "(overrides --device-count)",
+    )
+    p.add_argument(
+        "--multihost",
+        action="store_true",
+        help="initialize jax.distributed (one process per host; "
+             "TPULBM_COORDINATOR/TPULBM_NUM_PROCS/TPULBM_PROC_ID env or "
+             "auto-detected on TPU pods) and run over the global "
+             "host-contiguous device ring; process 0 writes outputs. "
+             "See scripts/launch_multihost.sh",
     )
     p.add_argument(
         "--max-iters", type=int, default=None, help="override deck maxIters"
@@ -118,8 +127,26 @@ def main(argv=None) -> int:
     from tpulbm.utils.profiling import trace_region
 
     enable_compilation_cache()
+    if args.multihost:
+        from tpulbm.dist.multihost import init_distributed, process_mesh_info
+
+        try:
+            init_distributed()
+        except Exception as e:  # coordinator unreachable, bad env, ...
+            return die(f"jax.distributed initialization failed: {e}")
+        info = process_mesh_info()
+        print(
+            f"multihost: process {info['process_index']}/"
+            f"{info['process_count']}, {info['local_devices']} local / "
+            f"{info['global_devices']} global devices",
+            file=sys.stderr,
+        )
     try:
-        if args.mesh_shape:
+        if args.multihost and not args.mesh_shape and args.device_count is None:
+            from tpulbm.dist.multihost import global_ring_mesh
+
+            mesh = get_mesh(devices=list(global_ring_mesh().devices.flat))
+        elif args.mesh_shape:
             from tpulbm.dist.mesh import get_mesh_2d
 
             dy, sep, dx = args.mesh_shape.partition("x")
@@ -168,12 +195,16 @@ def main(argv=None) -> int:
     toc = time.time()
     ru = resource.getrusage(resource.RUSAGE_SELF)
 
-    # Same result block as the reference MASTER rank (d2q9-bgk.c:409-416).
-    print("==done==")
-    print("Reynolds number:\t\t%.12E" % result.reynolds)
-    print("Elapsed time:\t\t\t%.6f (s)" % (toc - tic))
-    print("Elapsed user CPU time:\t\t%.6f (s)" % ru.ru_utime)
-    print("Elapsed system CPU time:\t%.6f (s)" % ru.ru_stime)
+    # Same result block as the reference MASTER rank (d2q9-bgk.c:409-416);
+    # under --multihost only process 0 prints, like MASTER.
+    from tpulbm.dist.multihost import is_output_process
+
+    if not args.multihost or is_output_process():
+        print("==done==")
+        print("Reynolds number:\t\t%.12E" % result.reynolds)
+        print("Elapsed time:\t\t\t%.6f (s)" % (toc - tic))
+        print("Elapsed user CPU time:\t\t%.6f (s)" % ru.ru_utime)
+        print("Elapsed system CPU time:\t%.6f (s)" % ru.ru_stime)
 
     if not args.no_output:
         sim.write_outputs(args.out_dir)

@@ -245,12 +245,7 @@ def _make_rdma_runner(
 
     n_dev = mesh.devices.size
     h = params.ny // n_dev
-    k = pallas_kstep_rdma.MAX_K
-    if not pallas_kstep_rdma.supported(h, params.nx, k, n_dev):
-        raise ValueError(
-            f"rdma backend unsupported for local shape ({h}, {params.nx}) "
-            f"on {n_dev} devices"
-        )
+    k = min(pallas_kstep_rdma.MAX_K, n_steps)
     n_outer, rem = divmod(n_steps, k)
     prepare, chunk = pallas_kstep_rdma.make_kstep_rdma(
         h, params.nx, k, ny_global=params.ny, omega=params.omega,
@@ -675,7 +670,23 @@ def make_runner(
         return _make_padded_runner(params, n_steps, mesh, axis_name)
     rows_local = params.ny // n_dev
     if backend == "pallas-rdma":
-        return _make_rdma_runner(params, n_steps, mesh, axis_name)
+        from tpulbm.ops import pallas_kstep_rdma
+
+        if pallas_kstep_rdma.supported(
+            rows_local, params.nx, min(pallas_kstep_rdma.MAX_K, n_steps), n_dev
+        ):
+            return _make_rdma_runner(params, n_steps, mesh, axis_name)
+        # Graceful fallback instead of raising (r1 review item 8): the
+        # ppermute-slab runner computes the identical physics.
+        import sys
+
+        print(
+            f"tpulbm: pallas-rdma unsupported for local shape "
+            f"({rows_local}, {params.nx}) on {n_dev} devices; falling back "
+            "to the ppermute halo runner",
+            file=sys.stderr,
+        )
+        backend = "pallas"
     if backend == "pallas":
         from tpulbm.ops import pallas_kstep, pallas_resident, pallas_step
 

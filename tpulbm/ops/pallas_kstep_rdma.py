@@ -48,10 +48,11 @@ MAX_K = _MARGIN
 
 def supported(h: int, nx: int, k: int, n_dev: int) -> bool:
     return (
-        k == _MARGIN  # slab height == aligned margin
+        1 <= k <= _MARGIN  # RDMA slabs are always the aligned 8-row margin;
+                           # k < 8 uses the needed sub-slab (value slicing)
         and n_dev >= 2
         and nx % 128 == 0
-        and h >= k
+        and h >= _MARGIN
         and h % _MARGIN == 0
         and pick_block_rows(h, nx) is not None
     )
@@ -215,8 +216,16 @@ def _kernel(
                       & (row_ids < by + m + k_steps), hi_full, v)
         return v
 
+    # The RDMA slabs are always the full 8-row margin (aligned DMA); with
+    # k_steps < 8 only the k rows adjacent to the shard edge are real halo —
+    # value-level slicing (not a ref slice) keeps sublane alignment rules out
+    # of the picture.
     w = [
-        assemble(fbuf[slot, c], land_lo[parity, c], land_hi[parity, c])
+        assemble(
+            fbuf[slot, c],
+            land_lo[parity, c][m - k_steps :, :],
+            land_hi[parity, c][:k_steps, :],
+        )
         for c in range(NSPEEDS)
     ]
     o = assemble(obuf[slot], olo_ref[:], ohi_ref[:])
@@ -266,7 +275,7 @@ def make_kstep_rdma(
     f-halo slabs (exchanged in-kernel): ``chunk(f, aux, scal) -> (f', av)``
     with ``scal`` int32 (1, 3) = [accel row, shard offset, parity]."""
     by = pick_block_rows(h, nx)
-    if by is None or k_steps != _MARGIN:
+    if by is None or not 1 <= k_steps <= _MARGIN or h % _MARGIN:
         raise ValueError(
             f"rdma kstep unsupported for local shape ({h}, {nx}), K={k_steps}"
         )

@@ -225,14 +225,25 @@ class Simulation:
 
     # -- persistence ------------------------------------------------------
     def write_outputs(self, out_dir: str | os.PathLike = ".") -> None:
-        from tpulbm.diag.observables import output_fields
+        """Write final_state.dat + av_vels.dat.
 
-        os.makedirs(out_dir, exist_ok=True)
+        Multi-host aware: each process contributes its shard via one gather
+        and process 0 writes (the analog of the reference's rank-ordered
+        sequential append, d2q9-bgk.c:1049-1122); other processes return
+        after participating in the collective."""
+        from tpulbm.diag.observables import output_fields
+        from tpulbm.dist.multihost import gather_to_host, is_output_process
+
         fields = output_fields(self.f, self.obstacles, self.params.density)
+        fields = [gather_to_host(a) for a in fields]
+        obst = gather_to_host(self.obstacles)
+        if not is_output_process():
+            return
+        os.makedirs(out_dir, exist_ok=True)
         write_final_state(
             os.path.join(out_dir, "final_state.dat"),
             None,
-            np.asarray(self.obstacles),
+            np.asarray(obst),
             self.params,
             fields=fields,
         )
