@@ -231,6 +231,111 @@ def _make_kstep_runner(
     return runner
 
 
+def _make_kstep_bands_runner(
+    params: LBMParams,
+    n_steps: int,
+    mesh: Mesh,
+    k: int,
+    axis_name: str = AXIS,
+    tile=None,
+):
+    """Runner over the band-major K-step kernel (wide grids): the state lives
+    as (NB, 9, H, BW) contiguous column bands for the whole runner call
+    (one transpose in, one out — amortized over all steps), so the kernel's
+    main window DMA piece is contiguous instead of 2 KB segments on a 16 KB
+    stride. See ops/pallas_kstep_bands.py."""
+    from tpulbm.ops import pallas_kstep_bands as pkb
+
+    n_dev = mesh.devices.size
+    h = params.ny // n_dev
+    if tile is None:
+        tile = pkb.pick_bands(h, params.nx)
+    by, bw = tile
+    nb = params.nx // bw
+    n_outer, rem = divmod(n_steps, k)
+    mk = functools.partial(
+        pkb.make_kstep_bands,
+        h, params.nx, ny_global=params.ny, omega=params.omega,
+        accel_w1=params.accel_w1, accel_w2=params.accel_w2, tile=tile,
+    )
+    prepare, chunk_k = mk(k_steps=k)
+    chunk_r = mk(k_steps=rem)[1] if rem else None
+    free_inv = jnp.float32(params.free_cells_inv)
+    accel_glob = params.accel_row
+
+    def run_local(f, obst_bool, shard_off, slab4, slab3):
+        """slab4/slab3: (x, w) -> (lo, hi) row slabs of band-major arrays
+        with 4/3 dims (rows are axis -2)."""
+        scal = jnp.stack([jnp.int32(accel_glob), shard_off]).reshape(1, 2)
+        fb = pkb.to_bands(f, bw)
+        ob = obst_bool.astype(jnp.float32).reshape(h, nb, bw).transpose(1, 0, 2)
+
+        def aux_for(width):
+            olo, ohi = slab3(ob, width)
+            return (ob, olo, ohi)
+
+        aux_k = aux_for(k)
+
+        def body(g, _):
+            ylo, yhi = slab4(g, k)
+            g2, av = chunk_k(g, ylo, yhi, aux_k, scal)
+            return g2, av * free_inv
+
+        fb_out, avs = jax.lax.scan(body, fb, None, length=n_outer)
+        av = avs.reshape(-1)
+        if chunk_r is not None:
+            ylo, yhi = slab4(fb_out, rem)
+            fb_out, av_r = chunk_r(fb_out, ylo, yhi, aux_for(rem), scal)
+            av = jnp.concatenate([av, av_r * free_inv])
+        return pkb.from_bands(fb_out), av
+
+    if n_dev == 1:
+        def self_slab(x, w):
+            return (
+                jax.lax.slice_in_dim(x, h - w, h, axis=-2),
+                jax.lax.slice_in_dim(x, 0, w, axis=-2),
+            )
+
+        @functools.partial(jax.jit, donate_argnums=0)
+        def runner_single(f, obstacles):
+            return run_local(f, obstacles, jnp.int32(0), self_slab, self_slab)
+
+        return runner_single
+
+    perm_fwd = [(i, (i + 1) % n_dev) for i in range(n_dev)]
+    perm_bwd = [(i, (i - 1) % n_dev) for i in range(n_dev)]
+
+    def ring_slab(x, w):
+        lo = jax.lax.ppermute(
+            jax.lax.slice_in_dim(x, h - w, h, axis=-2), axis_name, perm_fwd
+        )
+        hi = jax.lax.ppermute(
+            jax.lax.slice_in_dim(x, 0, w, axis=-2), axis_name, perm_bwd
+        )
+        return lo, hi
+
+    def body(f_loc, obst_loc):
+        d = jax.lax.axis_index(axis_name)
+        f_out, av = run_local(
+            f_loc, obst_loc, (d * h).astype(jnp.int32), ring_slab, ring_slab
+        )
+        return f_out, jax.lax.psum(av, axis_name)
+
+    sharded = jax.shard_map(
+        body,
+        mesh=mesh,
+        in_specs=(P(None, axis_name, None), P(axis_name, None)),
+        out_specs=(P(None, axis_name, None), P()),
+        check_vma=False,
+    )
+
+    @functools.partial(jax.jit, donate_argnums=0)
+    def runner(f, obstacles):
+        return sharded(f, obstacles)
+
+    return runner
+
+
 def _make_rdma_runner(
     params: LBMParams,
     n_steps: int,
@@ -699,11 +804,18 @@ def make_runner(
             return _make_kstep_runner(
                 params, n_steps, mesh, k, axis_name, alias_donor=True
             )
+        from tpulbm.ops import pallas_kstep_bands
+
+        if pallas_kstep_bands.supported(rows_local, params.nx, k):
+            # Wide grids: full rows no longer fit the VMEM window; band-major
+            # layout keeps the main window DMA contiguous (the x torus is the
+            # band ring).
+            return _make_kstep_bands_runner(params, n_steps, mesh, k, axis_name)
         from tpulbm.ops import pallas_kstep2d
 
         if pallas_kstep2d.supported(rows_local, params.nx, k):
-            # Wide grids: full rows no longer fit the VMEM window; tile both
-            # axes (the x wrap is a modular DMA offset, x is never sharded).
+            # Fallback 2-D row-major tiling (strided DMAs; kept for shapes
+            # the band layout can't take and for A/B comparison).
             return _make_kstep_runner(
                 params, n_steps, mesh, k, axis_name,
                 maker=pallas_kstep2d.make_kstep2d,

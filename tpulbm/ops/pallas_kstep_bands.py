@@ -1,0 +1,344 @@
+"""Band-major K-step temporal-blocking kernel for wide grids.
+
+The 2-D tiled kernel (pallas_kstep2d.py) pays strided DMA on every window
+piece at nx=4096: a (rows, 512) tile of a 4096-wide row-major array is 2 KB
+segments on a 16 KB stride, and the 1-D kernel's contiguous full-width
+blocks are exactly what made the 1024-wide grid fast. This variant fixes the
+layout instead of the tiles: the state lives **band-major** —
+``(NB, 9, H, BW)``, NB contiguous column bands — for the whole run
+(converted once per runner call, amortized over all steps), so each
+program's main window piece is a contiguous block of its band and only the
+two 128-column margin pieces (from the neighbouring bands, modular) remain
+strided. Everything else (8-row margins, K fused steps in VMEM, shard-halo
+substitution at the global y edges, modular accel-row selection, owned-only
+|u| sums) matches pallas_kstep/pallas_kstep2d; the physics body is the
+shared ops/window_step.py.
+
+x periodicity: band b's left margin comes from band (b-1) mod NB, right from
+(b+1) mod NB — the band ring IS the x torus, no in-window wrap arithmetic
+needed (the window rolls wrap garbage into margins, absorbed by the same
+analysis as the 1-D kernel's owned_cols mode).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from tpulbm.core.lattice import NSPEEDS
+from tpulbm.ops.window_step import fused_window_steps
+
+_MY = 8     # row margin (Mosaic sublane alignment; bounds K at 8)
+_MX = 128   # column margin (lane alignment)
+MAX_K = _MY
+# Window footprint target (f32 elements) for one (WY, WX) plane. 40K picks
+# (32, 512) at nx=4096, which beat both 1024-wide band shapes in the
+# (degraded-window) A/B ordering — see docs/measurements/round2.md; retune
+# in a healthy window.
+_WINDOW_BUDGET = 40 * 1024
+
+
+def pick_bands(h: int, nx: int) -> Optional[Tuple[int, int]]:
+    """(BY, BW): band width and row block minimizing window/owned overhead
+    within the VMEM window budget; ties prefer wider bands (more contiguous
+    DMA, fewer margin bytes)."""
+    best = None
+    best_key = None
+    for bw in (2048, 1024, 512, 256, 128):
+        if nx % bw or nx == bw:  # need >= 2 bands for the ring
+            continue
+        for by in range(8, min(h, 256) + 1, 8):
+            if h % by:
+                continue
+            window = (by + 2 * _MY) * (bw + 2 * _MX)
+            if window > _WINDOW_BUDGET:
+                continue
+            key = (window / (by * bw), -bw)
+            if best_key is None or key < best_key:
+                best_key = key
+                best = (by, bw)
+    return best
+
+
+def supported(h: int, nx: int, k: int) -> bool:
+    return (
+        1 <= k <= MAX_K
+        and nx % 128 == 0
+        and h >= k
+        and pick_bands(h, nx) is not None
+    )
+
+
+def to_bands(f: jnp.ndarray, bw: int) -> jnp.ndarray:
+    """(9, H, nx) row-major -> (NB, 9, H, BW) band-major."""
+    c, h, nx = f.shape
+    return f.reshape(c, h, nx // bw, bw).transpose(2, 0, 1, 3)
+
+
+def from_bands(fb: jnp.ndarray) -> jnp.ndarray:
+    """(NB, 9, H, BW) band-major -> (9, H, nx) row-major."""
+    nb, c, h, bw = fb.shape
+    return fb.transpose(1, 2, 0, 3).reshape(c, h, nb * bw)
+
+
+def _kernel(
+    f_ref,        # (NB, 9, H, BW) HBM, band-major
+    lo_ref,       # (NB, 9, K, BW) VMEM: K global rows below the shard
+    hi_ref,       # (NB, 9, K, BW) VMEM: K global rows above the shard
+    obst_ref,     # (NB, H, BW) HBM float32 mask
+    olo_ref,      # (NB, K, BW) VMEM
+    ohi_ref,      # (NB, K, BW) VMEM
+    scal_ref,     # (1, 2) SMEM int32: [global accel row, shard row offset]
+    out_ref,      # (1, 9, BY, BW) VMEM block
+    av_ref,       # (K, 1) SMEM
+    fbuf,         # (2, 9, WY, WX) VMEM
+    obuf,         # (2, WY, WX) VMEM
+    sem_f, sem_o,  # DMA semaphores (2,)
+    acc,          # (K, 1) SMEM
+    *,
+    by: int,
+    bw: int,
+    nb: int,
+    h: int,
+    k_steps: int,
+    ny_global: int,
+    omega: float,
+    w1: float,
+    w2: float,
+):
+    my, mx = _MY, _MX
+    wy = by + 2 * my
+    wx = bw + 2 * mx
+    b = pl.program_id(0)
+    i = pl.program_id(1)
+    nrow = pl.num_programs(1)
+    lin = b * nrow + i
+    slot = jax.lax.rem(lin, 2)
+    nslot = jax.lax.rem(lin + 1, 2)
+    n_static = h // by
+
+    def band_pieces(bb):
+        # (src_band, src_col, dst_col, width): the x torus via the band ring.
+        left = jax.lax.rem(bb - 1 + nb, nb)
+        right = jax.lax.rem(bb + 1, nb)
+        return [
+            (left, bw - mx, 0, mx),
+            (bb, 0, mx, bw),
+            (right, 0, mx + bw, mx),
+        ]
+
+    def row_cases(b_row):
+        first = b_row == 0
+        last = b_row == n_static - 1
+        cases = []
+        if n_static == 1:
+            cases.append((first & last, 0, by, my))
+        else:
+            cases.append((first, 0, by + my, my))
+            if n_static > 2:
+                cases.append(
+                    ((b_row != 0) & (b_row != n_static - 1),
+                     b_row * by - my, by + 2 * my, 0)
+                )
+            cases.append(((b_row != 0) & last, b_row * by - my, by + my, 0))
+        return cases
+
+    def dmas(bb, b_row, s, do_start):
+        pieces = band_pieces(bb)
+        for pred, src_row, row_sz, dst_row in row_cases(b_row):
+            @pl.when(pred)
+            def _():
+                src_r = pl.multiple_of(
+                    jnp.clip(src_row, 0, h - row_sz), _MY
+                )
+                for src_b, src_c, dst_c, width in pieces:
+                    fc = pltpu.make_async_copy(
+                        f_ref.at[src_b, :, pl.ds(src_r, row_sz),
+                                 pl.ds(src_c, width)],
+                        fbuf.at[s, :, pl.ds(dst_row, row_sz),
+                                pl.ds(dst_c, width)],
+                        sem_f.at[s],
+                    )
+                    oc = pltpu.make_async_copy(
+                        obst_ref.at[src_b, pl.ds(src_r, row_sz),
+                                    pl.ds(src_c, width)],
+                        obuf.at[s, pl.ds(dst_row, row_sz),
+                                pl.ds(dst_c, width)],
+                        sem_o.at[s],
+                    )
+                    if do_start:
+                        fc.start()
+                        oc.start()
+                    else:
+                        fc.wait()
+                        oc.wait()
+
+    @pl.when(lin == 0)
+    def _():
+        dmas(jnp.int32(0), jnp.int32(0), 0, True)
+
+    @pl.when(lin + 1 < nb * nrow)
+    def _():
+        nxt = lin + 1
+        dmas(nxt // nrow, jax.lax.rem(nxt, nrow), nslot, True)
+
+    dmas(b, i, slot, False)
+
+    # -- window assembly ----------------------------------------------------
+    zero = np.float32(0.0)
+    is_first = i == 0
+    is_last = i == n_static - 1
+    row_ids = jax.lax.broadcasted_iota(jnp.int32, (wy, wx), 0)
+
+    def halo_cols(ref, c=None):
+        # (K, WX) halo plane across the band ring (window width incl. the
+        # neighbour-band margins).
+        parts = []
+        for src_b, src_c, _dst, width in band_pieces(b):
+            # src_c/width are static (only the band index is traced)
+            plane = ref[src_b] if c is None else ref[src_b, c]
+            parts.append(plane[:, src_c : src_c + width])
+        return jnp.concatenate(parts, axis=1)
+
+    def assemble(buf_plane, lo_plane, hi_plane, c=None):
+        v = buf_plane
+        lo_full = jnp.pad(halo_cols(lo_plane, c),
+                          ((my - k_steps, wy - my), (0, 0)))
+        hi_full = jnp.pad(halo_cols(hi_plane, c),
+                          ((by + my, my - k_steps), (0, 0)))
+        v = jnp.where(
+            is_first & (row_ids < my) & (row_ids >= my - k_steps), lo_full, v
+        )
+        v = jnp.where(
+            is_last & (row_ids >= by + my) & (row_ids < by + my + k_steps),
+            hi_full, v,
+        )
+        return v
+
+    w = [assemble(fbuf[slot, c], lo_ref, hi_ref, c) for c in range(NSPEEDS)]
+    o = assemble(obuf[slot], olo_ref, ohi_ref)
+    blocked = o != zero
+
+    a_glob = scal_ref[0, 0]
+    shard_off = scal_ref[0, 1]
+    win_start = shard_off + i * by - my
+    a_off = jax.lax.rem(a_glob - win_start + 2 * ny_global, ny_global)
+    accel_sel = jax.lax.rem(row_ids - a_off + 2 * ny_global, ny_global) == 0
+
+    w, parts = fused_window_steps(
+        w, blocked, accel_sel, k_steps, omega, w1, w2,
+        owned=(slice(my, my + by), slice(mx, mx + bw)),
+    )
+    for s, part in enumerate(parts):
+        @pl.when(lin == 0)
+        def _(s=s, part=part):
+            acc[s, 0] = part
+
+        @pl.when(lin > 0)
+        def _(s=s, part=part):
+            acc[s, 0] += part
+
+    for c in range(NSPEEDS):
+        out_ref[0, c] = w[c][my : my + by, mx : mx + bw]
+
+    @pl.when(lin == nb * nrow - 1)
+    def _():
+        for s in range(k_steps):
+            av_ref[s, 0] = acc[s, 0]
+
+
+def make_kstep_bands(
+    h: int,
+    nx: int,
+    k_steps: int,
+    ny_global: int,
+    omega: float,
+    accel_w1: float,
+    accel_w2: float,
+    interpret: Optional[bool] = None,
+    tile: Optional[Tuple[int, int]] = None,
+):
+    """Returns ``(prepare, chunk)`` over BAND-MAJOR arrays:
+
+    ``chunk(fb, ylo, yhi, aux, scal) -> (fb', av[k_steps])`` where ``fb`` is
+    (NB, 9, H, BW), ``ylo``/``yhi`` are (NB, 9, K, BW) band-major y-halo
+    slabs, and aux = prepare(obst_bands_f32, olo, ohi). Use
+    ``to_bands``/``from_bands`` at the runner boundary.
+    """
+    if tile is None:
+        tile = pick_bands(h, nx)
+    if tile is None or not supported(h, nx, k_steps):
+        raise ValueError(
+            f"kstep_bands unsupported for local shape ({h}, {nx}), K={k_steps}"
+        )
+    by, bw = tile
+    if h % by or nx % bw:
+        raise ValueError(f"tile {tile} does not divide local shape ({h}, {nx})")
+    nb = nx // bw
+    if interpret is None:
+        interpret = jax.devices()[0].platform == "cpu"
+
+    kernel = functools.partial(
+        _kernel, by=by, bw=bw, nb=nb, h=h, k_steps=k_steps,
+        ny_global=ny_global, omega=float(omega), w1=float(accel_w1),
+        w2=float(accel_w2),
+    )
+
+    call = pl.pallas_call(
+        kernel,
+        grid=(nb, h // by),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.ANY),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.ANY),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((1, NSPEEDS, by, bw), lambda b, i: (b, 0, i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((nb, NSPEEDS, h, bw), jnp.float32),
+            jax.ShapeDtypeStruct((k_steps, 1), jnp.float32),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((2, NSPEEDS, by + 2 * _MY, bw + 2 * _MX), jnp.float32),
+            pltpu.VMEM((2, by + 2 * _MY, bw + 2 * _MX), jnp.float32),
+            pltpu.SemaphoreType.DMA((2,)),
+            pltpu.SemaphoreType.DMA((2,)),
+            pltpu.SMEM((k_steps, 1), jnp.float32),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary", "arbitrary"),
+        ),
+        cost_estimate=pl.CostEstimate(
+            flops=85 * h * nx * k_steps,
+            bytes_accessed=2 * NSPEEDS * h * nx * 4,
+            transcendentals=2 * h * nx * k_steps,
+        ),
+        interpret=interpret,
+    )
+
+    def prepare(obst_bands, olo, ohi):
+        return (
+            obst_bands.astype(jnp.float32),
+            olo.astype(jnp.float32),
+            ohi.astype(jnp.float32),
+        )
+
+    def chunk(fb, ylo, yhi, aux, scal):
+        obst_f, olo_f, ohi_f = aux
+        fb_out, av = call(fb, ylo, yhi, obst_f, olo_f, ohi_f, scal)
+        return fb_out, av[:, 0]
+
+    return prepare, chunk
