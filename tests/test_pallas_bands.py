@@ -42,7 +42,7 @@ def test_band_round_trip():
 
 
 def test_pick_bands():
-    assert pkb.pick_bands(4096, 4096) == (32, 512)
+    assert pkb.pick_bands(4096, 4096) == (64, 512)
     assert pkb.pick_bands(128, 128) is None  # needs >= 2 bands
     assert pkb.supported(4096, 4096, 8)
     assert not pkb.supported(128, 100, 8)

@@ -18,6 +18,15 @@ x periodicity: band b's left margin comes from band (b-1) mod NB, right from
 (b+1) mod NB — the band ring IS the x torus, no in-window wrap arithmetic
 needed (the window rolls wrap garbage into margins, absorbed by the same
 analysis as the 1-D kernel's owned_cols mode).
+
+Narrow compute window: DMA offsets must stay 128-lane aligned, so the
+*loaded* window keeps 128-column margins — but the K fused steps only
+contaminate ``k`` columns inward per side, so the *compute* runs on an
+in-VMEM slice ``bw + 2*k`` wide (one lane relayout per K-chunk, amortized
+over the K steps). This cuts the x recompute overhead from
+(bw+256)/bw to ~ (bw+128)/bw effective (lane-tile rounding) and is bitwise
+identical on the owned region: every value in the narrow slice is genuine
+neighbour data, and roll-wrap garbage penetrates at most k ≤ margin columns.
 """
 
 from __future__ import annotations
@@ -37,17 +46,17 @@ from tpulbm.ops.window_step import fused_window_steps
 _MY = 8     # row margin (Mosaic sublane alignment; bounds K at 8)
 _MX = 128   # column margin (lane alignment)
 MAX_K = _MY
-# Window footprint target (f32 elements) for one (WY, WX) plane. 40K picks
-# (32, 512) at nx=4096, which beat both 1024-wide band shapes in the
-# (degraded-window) A/B ordering — see docs/measurements/round2.md; retune
-# in a healthy window.
-_WINDOW_BUDGET = 40 * 1024
+# Footprint target (f32 elements) for one *loaded* (WY, WX) plane. The
+# compute window is narrower (bw + 2K columns), so the budget governs DMA
+# buffers only; 64K admits (64, 512) at nx=4096 (~10 MB total VMEM).
+_WINDOW_BUDGET = 64 * 1024
 
 
 def pick_bands(h: int, nx: int) -> Optional[Tuple[int, int]]:
-    """(BY, BW): band width and row block minimizing window/owned overhead
-    within the VMEM window budget; ties prefer wider bands (more contiguous
-    DMA, fewer margin bytes)."""
+    """(BY, BW): band width and row block minimizing *compute*-window
+    overhead (narrow window, lane-tile rounded) within the VMEM budget on
+    the *loaded* window; ties prefer wider bands (more contiguous DMA,
+    fewer margin bytes)."""
     best = None
     best_key = None
     for bw in (2048, 1024, 512, 256, 128):
@@ -59,7 +68,9 @@ def pick_bands(h: int, nx: int) -> Optional[Tuple[int, int]]:
             window = (by + 2 * _MY) * (bw + 2 * _MX)
             if window > _WINDOW_BUDGET:
                 continue
-            key = (window / (by * bw), -bw)
+            # effective compute plane: narrow window rounded to lane tiles
+            eff = (by + 2 * _MY) * (-(-(bw + 2 * _MY) // 128) * 128)
+            key = (eff / (by * bw), -bw)
             if best_key is None or key < best_key:
                 best_key = key
                 best = (by, bw)
@@ -221,19 +232,26 @@ def _kernel(
         )
         return v
 
-    w = [assemble(fbuf[slot, c], lo_ref, hi_ref, c) for c in range(NSPEEDS)]
-    o = assemble(obuf[slot], olo_ref, ohi_ref)
+    # narrow compute window: margin k columns per side (see module docstring)
+    x0 = mx - k_steps
+    wxn = bw + 2 * k_steps
+    w = [
+        assemble(fbuf[slot, c], lo_ref, hi_ref, c)[:, x0 : x0 + wxn]
+        for c in range(NSPEEDS)
+    ]
+    o = assemble(obuf[slot], olo_ref, ohi_ref)[:, x0 : x0 + wxn]
     blocked = o != zero
 
     a_glob = scal_ref[0, 0]
     shard_off = scal_ref[0, 1]
     win_start = shard_off + i * by - my
     a_off = jax.lax.rem(a_glob - win_start + 2 * ny_global, ny_global)
-    accel_sel = jax.lax.rem(row_ids - a_off + 2 * ny_global, ny_global) == 0
+    row_ids_n = jax.lax.broadcasted_iota(jnp.int32, (wy, wxn), 0)
+    accel_sel = jax.lax.rem(row_ids_n - a_off + 2 * ny_global, ny_global) == 0
 
     w, parts = fused_window_steps(
         w, blocked, accel_sel, k_steps, omega, w1, w2,
-        owned=(slice(my, my + by), slice(mx, mx + bw)),
+        owned=(slice(my, my + by), slice(k_steps, k_steps + bw)),
     )
     for s, part in enumerate(parts):
         @pl.when(lin == 0)
@@ -245,7 +263,7 @@ def _kernel(
             acc[s, 0] += part
 
     for c in range(NSPEEDS):
-        out_ref[0, c] = w[c][my : my + by, mx : mx + bw]
+        out_ref[0, c] = w[c][my : my + by, k_steps : k_steps + bw]
 
     @pl.when(lin == nb * nrow - 1)
     def _():
