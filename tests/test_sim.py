@@ -50,6 +50,27 @@ def test_checkpoint_resume_bitwise(tmp_path):
     np.testing.assert_array_equal(full.av_vels[:40], resumed.av_vels[:40])
 
 
+def test_checkpoint_resume_bitwise_orbax(tmp_path):
+    """Orbax backend round trip: async save during the run, latest()
+    discovery, bitwise resume — same contract as the npz backend."""
+    mesh = get_mesh(n_devices=2)
+    full = Simulation.from_files(PARAMS, OBST, mesh=mesh, backend="jnp")
+    full.run(n_steps=40)
+
+    part = Simulation.from_files(PARAMS, OBST, mesh=mesh, backend="jnp",
+                                 ckpt_backend="orbax")
+    part.run(n_steps=25, checkpoint_every=25, checkpoint_dir=tmp_path)
+    assert os.path.isdir(tmp_path / "ckpt_00000025.orbax")
+
+    resumed = Simulation.from_files(PARAMS, OBST, mesh=mesh, backend="jnp")
+    resumed.restore_checkpoint(tmp_path)
+    assert resumed.step_count == 25
+    resumed.run(n_steps=15)
+
+    assert np.array_equal(np.asarray(full.f), np.asarray(resumed.f))
+    np.testing.assert_array_equal(full.av_vels[:40], resumed.av_vels[:40])
+
+
 def test_cli_end_to_end(tmp_path):
     from tpulbm.cli import main
 

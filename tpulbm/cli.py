@@ -63,10 +63,16 @@ def build_parser() -> argparse.ArgumentParser:
     )
     p.add_argument(
         "--checkpoint-every", type=int, default=None,
-        help="save an npz checkpoint every N steps",
+        help="save a checkpoint every N steps",
     )
     p.add_argument(
         "--checkpoint-dir", default=None, help="checkpoint directory"
+    )
+    p.add_argument(
+        "--ckpt-backend", choices=("npz", "orbax"), default="npz",
+        help="checkpoint storage: npz (single atomic file) or orbax "
+             "(async sharded save; each process writes its own shards "
+             "on a multi-host mesh)",
     )
     p.add_argument(
         "--resume", default=None,
@@ -159,7 +165,8 @@ def main(argv=None) -> int:
         else:
             mesh = get_mesh(n_devices=args.device_count)
         sim = Simulation.from_files(
-            args.paramfile, args.obstaclefile, mesh=mesh, backend=args.backend
+            args.paramfile, args.obstaclefile, mesh=mesh,
+            backend=args.backend, ckpt_backend=args.ckpt_backend,
         )
     except FileNotFoundError as e:
         return die(f"could not open input file: {e.filename}")

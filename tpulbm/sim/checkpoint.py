@@ -1,9 +1,18 @@
 """Step-stamped checkpoint / resume.
 
 The reference has no checkpointing at all — a killed job reruns from scratch
-(SURVEY.md section 5.3/5.4). Here snapshots are cheap npz files carrying the
-full distribution state, the accumulated av_vels prefix and the parameter
-deck, so a run can resume bitwise-identically at step k.
+(SURVEY.md section 5.3/5.4). Here snapshots carry the full distribution
+state, the accumulated av_vels prefix and the parameter deck, so a run can
+resume bitwise-identically at step k. Two storage backends:
+
+- ``npz`` (default): one compressed file per snapshot, written atomically
+  via rename; serialization happens on a writer thread (AsyncCheckpointer)
+  so it overlaps the next compute chunk. Host-gathered — fine single-host.
+- ``orbax``: an orbax-checkpoint directory per snapshot. The distribution
+  state is saved as the (possibly sharded) jax array itself — on a
+  multi-host mesh every process writes only its own shards (the TPU-native
+  analog of the reference's rank-ordered append, d2q9-bgk.c:1049-1122) and
+  the save is natively asynchronous.
 """
 
 from __future__ import annotations
@@ -20,10 +29,18 @@ import numpy as np
 from tpulbm.core.params import LBMParams
 
 _NAME_RE = re.compile(r"ckpt_(\d+)\.npz$")
+_ORBAX_RE = re.compile(r"ckpt_(\d+)\.orbax$")
+
+BACKENDS = ("npz", "orbax")
 
 
 def save(directory, step: int, f: np.ndarray, av_vels: np.ndarray,
-         params: LBMParams) -> str:
+         params: LBMParams, backend: str = "npz") -> str:
+    if backend == "orbax":
+        ckptr, path = _orbax_save_async(directory, step, f, av_vels, params)
+        ckptr.wait_until_finished()
+        ckptr.close()
+        return path
     os.makedirs(directory, exist_ok=True)
     path = os.path.join(directory, f"ckpt_{step:08d}.npz")
     tmp = path + ".tmp.npz"
@@ -38,20 +55,76 @@ def save(directory, step: int, f: np.ndarray, av_vels: np.ndarray,
     return path
 
 
-class AsyncCheckpointer:
-    """Overlaps checkpoint serialization/compression with the next compute
-    chunk: ``submit`` hands off already-host-resident arrays to a writer
-    thread; ``wait`` joins the in-flight write (called before the next submit
-    and at shutdown). At most one write is in flight — a second submit first
-    waits for the previous one, so checkpoints are never reordered."""
+def _orbax_save_async(directory, step, f, av_vels, params):
+    """Starts an async orbax save; returns (checkpointer, path). The caller
+    owns wait_until_finished()/close()."""
+    import orbax.checkpoint as ocp
 
-    def __init__(self):
+    os.makedirs(directory, exist_ok=True)
+    path = os.path.abspath(os.path.join(directory, f"ckpt_{step:08d}.orbax"))
+    state = {
+        "step": np.int64(step),
+        "f": f,  # jax array passes through: sharded multi-host save
+        "av_vels": np.asarray(av_vels, dtype=np.float32),
+        "params": {k: v for k, v in dataclasses.asdict(params).items()},
+    }
+    ckptr = ocp.StandardCheckpointer()
+    ckptr.save(path, state, force=True)
+    return ckptr, path
+
+
+def _orbax_restore(path):
+    import orbax.checkpoint as ocp
+    from absl import logging as absl_logging
+
+    # Target-less restore is intentional (av_vels length varies with
+    # max_iters overrides); quiet absl's "UNSAFE without a target" warning.
+    prev = absl_logging.get_verbosity()
+    absl_logging.set_verbosity(absl_logging.ERROR)
+    try:
+        with ocp.StandardCheckpointer() as ckptr:
+            state = ckptr.restore(os.path.abspath(path))
+    finally:
+        absl_logging.set_verbosity(prev)
+    return (
+        int(state["step"]),
+        np.asarray(state["f"], dtype=np.float32),
+        np.asarray(state["av_vels"], dtype=np.float32),
+        {k: _pyscalar(v) for k, v in state["params"].items()},
+    )
+
+
+def _pyscalar(v):
+    v = np.asarray(v).item() if np.ndim(v) == 0 else v
+    return v
+
+
+class AsyncCheckpointer:
+    """Overlaps checkpoint serialization with the next compute chunk:
+    ``submit`` hands off the write (a writer thread for npz; orbax's native
+    async machinery for orbax); ``wait`` joins the in-flight write (called
+    before the next submit and at shutdown). At most one write is in flight —
+    a second submit first waits for the previous one, so checkpoints are
+    never reordered."""
+
+    def __init__(self, backend: str = "npz"):
+        if backend not in BACKENDS:
+            raise ValueError(
+                f"unknown checkpoint backend {backend!r} (choose from {BACKENDS})"
+            )
+        self.backend = backend
         self._thread: Optional[threading.Thread] = None
+        self._orbax = None
         self._result: Optional[str] = None
         self._error: Optional[BaseException] = None
 
     def submit(self, directory, step, f, av_vels, params) -> None:
         self.wait()
+        if self.backend == "orbax":
+            self._orbax, self._result = _orbax_save_async(
+                directory, step, f, np.array(av_vels, copy=True), params
+            )
+            return
         f = np.asarray(f)
         av_vels = np.array(av_vels, copy=True)
 
@@ -68,6 +141,12 @@ class AsyncCheckpointer:
         if self._thread is not None:
             self._thread.join()
             self._thread = None
+        if self._orbax is not None:
+            ckptr, self._orbax = self._orbax, None
+            try:
+                ckptr.wait_until_finished()
+            finally:
+                ckptr.close()
         if self._error is not None:
             err, self._error = self._error, None
             raise err
@@ -80,7 +159,7 @@ def latest(directory) -> str | None:
     best = None
     best_step = -1
     for name in os.listdir(directory):
-        m = _NAME_RE.match(name)
+        m = _NAME_RE.match(name) or _ORBAX_RE.match(name)
         if m and int(m.group(1)) > best_step:
             best_step = int(m.group(1))
             best = os.path.join(directory, name)
@@ -88,16 +167,19 @@ def latest(directory) -> str | None:
 
 
 def restore(path_or_dir, params: LBMParams) -> Tuple[int, np.ndarray, np.ndarray]:
-    path = path_or_dir
-    if os.path.isdir(path):
+    path = str(path_or_dir)
+    if os.path.isdir(path) and not _ORBAX_RE.search(os.path.basename(path)):
         path = latest(path)
         if path is None:
             raise FileNotFoundError(f"no checkpoints under {path_or_dir}")
-    with np.load(path, allow_pickle=False) as z:
-        step = int(z["step"])
-        f = z["f"]
-        av_vels = z["av_vels"]
-        saved = json.loads(str(z["params"]))
+    if _ORBAX_RE.search(os.path.basename(path)):
+        step, f, av_vels, saved = _orbax_restore(path)
+    else:
+        with np.load(path, allow_pickle=False) as z:
+            step = int(z["step"])
+            f = z["f"]
+            av_vels = z["av_vels"]
+            saved = json.loads(str(z["params"]))
     current = dataclasses.asdict(params)
     mismatched = {
         k: (saved[k], current[k])

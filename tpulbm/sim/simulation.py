@@ -47,6 +47,7 @@ class Simulation:
         obstacles: np.ndarray,
         mesh: Optional[Mesh] = None,
         backend: str = "auto",
+        ckpt_backend: str = "npz",
     ):
         if params.free_cells_inv == 0.0:
             params = params.with_free_cells(
@@ -72,7 +73,8 @@ class Simulation:
         self.step_count = 0
         self.av_vels = np.zeros((params.max_iters,), dtype=np.float32)
         self._runners = {}
-        self._async_ckpt = ckpt.AsyncCheckpointer()
+        self.ckpt_backend = ckpt_backend
+        self._async_ckpt = ckpt.AsyncCheckpointer(backend=ckpt_backend)
 
     @classmethod
     def from_files(
@@ -81,10 +83,12 @@ class Simulation:
         obstacle_file: str | os.PathLike,
         mesh: Optional[Mesh] = None,
         backend: str = "auto",
+        ckpt_backend: str = "npz",
     ) -> "Simulation":
         params = read_params(param_file)
         mask, num_free = read_obstacles(obstacle_file, params.nx, params.ny)
-        return cls(params.with_free_cells(num_free), mask, mesh=mesh, backend=backend)
+        return cls(params.with_free_cells(num_free), mask, mesh=mesh,
+                   backend=backend, ckpt_backend=ckpt_backend)
 
     def _runner(self, n_steps: int):
         key = n_steps
@@ -255,9 +259,10 @@ class Simulation:
         return ckpt.save(
             directory,
             step=self.step_count,
-            f=np.asarray(self.f),
+            f=self.f if self.ckpt_backend == "orbax" else np.asarray(self.f),
             av_vels=self.av_vels,
             params=self.params,
+            backend=self.ckpt_backend,
         )
 
     def restore_checkpoint(self, path_or_dir: str | os.PathLike) -> None:
