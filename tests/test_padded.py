@@ -82,10 +82,14 @@ def test_unaligned_matches_single_device(ny, nx, n_dev):
     np.testing.assert_allclose(np.asarray(avn), np.asarray(av1), rtol=1e-5)
 
 
-def test_explicit_pallas_backend_rejected_for_unaligned():
+def test_explicit_pallas_backend_rejected_beyond_padding_gate():
+    """backend='pallas' now takes many unaligned shapes via the periodic-
+    extension padded K-step runner (test_padded_kstep.py); shapes beyond its
+    gate (here pad=62 > rows-8=16), requested with a non-auto backend that
+    can't pad, still produce a clean error."""
     params = LBMParams(nx=128, ny=130, max_iters=4, reynolds_dim=10,
                        density=0.1, accel=0.005, omega=1.85).with_free_cells(1)
-    with pytest.raises(ValueError, match="padded any-shape"):
+    with pytest.raises(ValueError, match="jnp padded path"):
         make_runner(params, 4, mesh=get_mesh(n_devices=8), backend="pallas")
 
 

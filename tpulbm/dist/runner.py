@@ -115,6 +115,7 @@ def _make_kstep_runner(
     axis_name: str = AXIS,
     maker=None,
     alias_donor: bool = False,
+    padded: bool = False,
 ):
     """Runner over a K-step temporal-blocking kernel (1-D row blocks, or 2-D
     row-x-column tiles for wide grids): K fused timesteps per HBM pass, halo
@@ -125,18 +126,46 @@ def _make_kstep_runner(
     ping-pong — g -> scratch-buffer, then -> g's buffer — with the kernel's
     input_output_aliases pinning each output into the donated buffer, so both
     scan carries keep a fixed buffer assignment and XLA inserts no copies.
+
+    ``padded=True`` runs ANY (ny, n_devices) on the fast kernel via
+    PERIODIC-EXTENSION padding: the grid is padded to ``rows * n_dev`` rows
+    (rows a multiple of 8) where padded row i holds a copy of real row
+    i - ny. Because row i's neighbours then also mirror row (i - ny)'s
+    neighbours, every mirror evolves bitwise-identically to its original and
+    the final crop is exact — no masking of the dynamics, unlike the jnp
+    padded runner's dead-row scheme (_make_padded_runner). Only three
+    adjustments are needed: (a) the ring wrap slabs come from shifted static
+    positions — the last shard sends its last K *canonical* rows down to
+    shard 0, and shard 0 sends rows [pad, pad+K) up to the last shard (the
+    rows that globally follow G[ny_pad-1] = F[pad-1]); (b) the kernels'
+    modular accel selection (ny_global = real ny) hits the accelerated row's
+    mirror automatically; (c) mirror rows are excluded from the |u| series
+    via the kernel's canon_ny mask. The reference achieves shape generality
+    with remainder-balanced uneven shards (d2q9-bgk.c:834-862) — uneven
+    shapes defeat SPMD/XLA, so padding is the TPU-native equivalent.
     """
     from tpulbm.ops import pallas_kstep
 
     if maker is None:
         maker = pallas_kstep.make_kstep
     n_dev = mesh.devices.size
-    h = params.ny // n_dev
+    if padded:
+        from tpulbm.dist.sharding import padded_split_aligned
+
+        h, ny_pad = padded_split_aligned(params.ny, n_dev)
+        pad = ny_pad - params.ny
+        nl = params.ny - (n_dev - 1) * h  # canonical rows on the last shard
+        extra = {"canon_ny": params.ny}
+    else:
+        h = params.ny // n_dev
+        pad = 0
+        nl = h
+        extra = {}
     n_outer, rem = divmod(n_steps, k)
     mk = functools.partial(
         maker,
         h, params.nx, ny_global=params.ny, omega=params.omega,
-        accel_w1=params.accel_w1, accel_w2=params.accel_w2,
+        accel_w1=params.accel_w1, accel_w2=params.accel_w2, **extra,
     )
     if alias_donor:
         prepare, chunk_k = mk(k_steps=k, alias_donor=True)
@@ -194,27 +223,71 @@ def _make_kstep_runner(
             av = jnp.concatenate([av, av_r * free_inv])
         return f_out, av
 
+    ny = params.ny
     if n_dev == 1:
+        # lo halo = the K rows globally above row 0 = the last canonical
+        # rows; hi halo = the rows globally after G[ny_pad-1] = F[pad-1],
+        # i.e. rows [pad, pad+w). For pad == 0 both reduce to the plain
+        # self-wrap.
         def self_slab2(x, w):
-            return x[-w:], x[:w]
+            return x[ny - w : ny], x[pad : pad + w]
 
         def self_slab3(g, w):
-            return g[:, -w:, :], g[:, :w, :]
+            return g[:, ny - w : ny, :], g[:, pad : pad + w, :]
 
         @functools.partial(jax.jit, donate_argnums=0)
         def runner_single(f, obstacles):
-            return run_local(f, obstacles, jnp.int32(0), self_slab2, self_slab3)
+            if pad:
+                f = jnp.concatenate([f, f[:, :pad, :]], axis=1)
+                obstacles = jnp.concatenate(
+                    [obstacles, obstacles[:pad]], axis=0
+                )
+            f_out, av = run_local(
+                f, obstacles, jnp.int32(0), self_slab2, self_slab3
+            )
+            return (f_out[:, :ny, :] if pad else f_out), av
 
         return runner_single
 
-    ring_slab2, ring_slab3 = _ring_slabs(n_dev, axis_name)
+    if padded:
+        perm_fwd = [(i, (i + 1) % n_dev) for i in range(n_dev)]
+        perm_bwd = [(i, (i - 1) % n_dev) for i in range(n_dev)]
 
-    def body(f_loc, obst_loc):
-        d = jax.lax.axis_index(axis_name)
-        f_out, av = run_local(
-            f_loc, obst_loc, (d * h).astype(jnp.int32), ring_slab2, ring_slab3
-        )
-        return f_out, jax.lax.psum(av, axis_name)
+        def body(f_loc, obst_loc):
+            d = jax.lax.axis_index(axis_name)
+
+            def slab(x, w, axis):
+                # Shifted wrap slabs (see the padded docstring above): the
+                # last shard forwards its last CANONICAL w rows; shard 0
+                # sends rows [pad, pad+w) backward. All interior slabs are
+                # the plain edge slabs.
+                start_f = jnp.where(d == n_dev - 1, nl - w, h - w)
+                start_b = jnp.where(d == 0, pad, 0)
+                lo = jax.lax.ppermute(
+                    jax.lax.dynamic_slice_in_dim(x, start_f, w, axis=axis),
+                    axis_name, perm_fwd,
+                )
+                hi = jax.lax.ppermute(
+                    jax.lax.dynamic_slice_in_dim(x, start_b, w, axis=axis),
+                    axis_name, perm_bwd,
+                )
+                return lo, hi
+
+            f_out, av = run_local(
+                f_loc, obst_loc, (d * h).astype(jnp.int32),
+                lambda x, w: slab(x, w, 0), lambda g, w: slab(g, w, 1),
+            )
+            return f_out, jax.lax.psum(av, axis_name)
+    else:
+        ring_slab2, ring_slab3 = _ring_slabs(n_dev, axis_name)
+
+        def body(f_loc, obst_loc):
+            d = jax.lax.axis_index(axis_name)
+            f_out, av = run_local(
+                f_loc, obst_loc, (d * h).astype(jnp.int32),
+                ring_slab2, ring_slab3,
+            )
+            return f_out, jax.lax.psum(av, axis_name)
 
     sharded = jax.shard_map(
         body,
@@ -224,9 +297,24 @@ def _make_kstep_runner(
         check_vma=False,
     )
 
-    @functools.partial(jax.jit, donate_argnums=0)
-    def runner(f, obstacles):
-        return sharded(f, obstacles)
+    if pad:
+        from jax.sharding import NamedSharding
+
+        f_spec = NamedSharding(mesh, P(None, axis_name, None))
+        o_spec = NamedSharding(mesh, P(axis_name, None))
+
+        @functools.partial(jax.jit, donate_argnums=0)
+        def runner(f, obstacles):
+            f_pad = jnp.concatenate([f, f[:, :pad, :]], axis=1)
+            obst_pad = jnp.concatenate([obstacles, obstacles[:pad]], axis=0)
+            f_pad = jax.lax.with_sharding_constraint(f_pad, f_spec)
+            obst_pad = jax.lax.with_sharding_constraint(obst_pad, o_spec)
+            f_out, av = sharded(f_pad, obst_pad)
+            return f_out[:, :ny, :], av
+    else:
+        @functools.partial(jax.jit, donate_argnums=0)
+        def runner(f, obstacles):
+            return sharded(f, obstacles)
 
     return runner
 
@@ -626,6 +714,22 @@ def _make_runner_2d_kstep(params: LBMParams, n_steps: int, mesh: Mesh, k: int):
     return runner
 
 
+def supported_padded_kstep(params: LBMParams, n_dev: int, k: int) -> bool:
+    """Whether the periodic-extension padded K-step runner takes this shape:
+    the wrap slab sources must be in-shard (pad + K <= rows on shard 0, >= K
+    canonical rows on the last shard) and the kernel must take (rows, nx)."""
+    from tpulbm.dist.sharding import padded_split_aligned
+    from tpulbm.ops import pallas_kstep
+
+    rows, ny_pad = padded_split_aligned(params.ny, n_dev)
+    pad = ny_pad - params.ny
+    return (
+        pad + k <= rows
+        and params.ny - (n_dev - 1) * rows >= k
+        and pallas_kstep.supported(rows, params.nx, k)
+    )
+
+
 def supported_2d_kstep(params: LBMParams, mesh: Mesh, k: int) -> bool:
     from tpulbm.ops import pallas_kstep
 
@@ -766,11 +870,22 @@ def make_runner(
         if n_dev == 1:
             # ny < 3 on one device is physically degenerate; keep the error.
             validate_even_split(params.ny, n_dev)
+        if backend == "pallas":
+            from tpulbm.ops import pallas_kstep
+
+            kp = min(pallas_kstep.MAX_K, n_steps)
+            if supported_padded_kstep(params, n_dev, kp):
+                return _make_kstep_runner(
+                    params, n_steps, mesh, kp, axis_name,
+                    alias_donor=True, padded=True,
+                )
         if requested not in ("auto", "jnp"):
             raise ValueError(
-                f"backend {requested!r} needs ny={params.ny} to split evenly "
-                f"into >=3-row shards over {n_dev} devices; the padded "
-                "any-shape path runs under backend='auto' or 'jnp'"
+                f"backend {requested!r} does not support the shape: "
+                f"ny={params.ny} over {n_dev} devices needs the "
+                "periodic-extension padded K-step runner (nx % 128 == 0, "
+                "pad + K <= rows) or the jnp padded path "
+                "(backend='auto' or 'jnp')"
             )
         return _make_padded_runner(params, n_steps, mesh, axis_name)
     rows_local = params.ny // n_dev
@@ -819,6 +934,13 @@ def make_runner(
             return _make_kstep_runner(
                 params, n_steps, mesh, k, axis_name,
                 maker=pallas_kstep2d.make_kstep2d,
+            )
+        if supported_padded_kstep(params, n_dev, k):
+            # Even split but rows not 8-aligned (e.g. ny=1001 on 1 device):
+            # periodic-extension padding puts it back on the fast kernel.
+            return _make_kstep_runner(
+                params, n_steps, mesh, k, axis_name,
+                alias_donor=True, padded=True,
             )
         if not pallas_step.supported(rows_local, params.nx):
             if requested == "pallas":

@@ -60,6 +60,16 @@ def padded_split(ny: int, n_devices: int) -> Tuple[int, int]:
     return rows, rows * n_devices
 
 
+def padded_split_aligned(ny: int, n_devices: int, align: int = 8) -> Tuple[int, int]:
+    """(rows_per_shard, ny_pad) with rows a multiple of ``align`` — the
+    variant the Pallas K-step kernels need (8-row DMA alignment / row
+    blocks). Padding is by periodic extension (rows ny..ny_pad mirror rows
+    0..pad), which keeps the padded evolution bitwise-exactly the torus
+    evolution — see dist/runner._make_kstep_runner(padded=True)."""
+    rows = max(align, -(-ny // (n_devices * align)) * align)
+    return rows, rows * n_devices
+
+
 def validate_even_split(ny: int, n_devices: int) -> int:
     """Rows per device for the even split used on TPU; raises if invalid."""
     if ny % n_devices != 0:

@@ -89,6 +89,7 @@ def _kernel(
     slots: int = 2,
     ox: int = 0,
     ow: int = 0,
+    canon_ny: int = 0,
 ):
     if ow == 0:
         ow = nx
@@ -207,10 +208,18 @@ def _kernel(
     a_off = jax.lax.rem(a_glob - win_start + 2 * ny_global, ny_global)
     accel_sel = jax.lax.rem(row_ids - a_off + 2 * ny_global, ny_global) == 0
 
+    # Periodic-extension padding (padded runner): mirror rows (padded global
+    # index >= real ny) evolve like their originals but are excluded from
+    # the |u| series so canonical cells count exactly once.
+    av_mask = None
+    if canon_ny:
+        av_mask = (win_start + row_ids) < canon_ny
+
     # -- K fused steps, constant window shape (see ops.window_step) ---------
     w, parts = fused_window_steps(
         w, blocked, accel_sel, k_steps, omega, w1, w2,
         owned=(slice(m, m + by), slice(ox, ox + ow)),
+        av_mask=av_mask,
     )
     for s, part in enumerate(parts):
         @pl.when(i == 0)
@@ -243,6 +252,7 @@ def make_kstep(
     slots: int = 2,
     alias_donor: bool = False,
     owned_cols: Optional[tuple] = None,
+    canon_ny: int = 0,
 ):
     """Returns ``(prepare, chunk)``:
 
@@ -256,6 +266,12 @@ def make_kstep(
     x-halo-extended block: the in-window x roll then wraps garbage into the
     margins instead of the real torus, which the margin analysis absorbs for
     K <= 8 as long as >= K valid halo columns sit adjacent to the owned ones.
+
+    ``canon_ny`` (nonzero = the REAL global ny when the grid is padded by
+    periodic extension): rows whose padded global index is >= canon_ny are
+    mirrors — they step like their originals but are excluded from the |u|
+    series. ``ny_global`` is then also the real ny, so the modular accel
+    selection hits the mirror of the accelerated row too.
     """
     if by is None:
         by = pick_block_rows(h, nx)
@@ -273,14 +289,14 @@ def make_kstep(
     kernel = functools.partial(
         _kernel, by=by, nx=nx, h=h, k_steps=k_steps, ny_global=ny_global,
         omega=float(omega), w1=float(accel_w1), w2=float(accel_w2),
-        slots=slots, ox=ox, ow=ow,
+        slots=slots, ox=ox, ow=ow, canon_ny=canon_ny,
     )
 
     in_specs = [
-        pl.BlockSpec(memory_space=pltpu.ANY),   # f
+        pl.BlockSpec(memory_space=pl.ANY),   # f
         pl.BlockSpec(memory_space=pltpu.VMEM),  # halo lo
         pl.BlockSpec(memory_space=pltpu.VMEM),  # halo hi
-        pl.BlockSpec(memory_space=pltpu.ANY),   # obstacles
+        pl.BlockSpec(memory_space=pl.ANY),   # obstacles
         pl.BlockSpec(memory_space=pltpu.VMEM),  # obst halo lo
         pl.BlockSpec(memory_space=pltpu.VMEM),  # obst halo hi
         pl.BlockSpec(memory_space=pltpu.SMEM),  # scalars
@@ -291,7 +307,7 @@ def make_kstep(
         # Explicit ping-pong: the output lands in a donated buffer (the
         # caller passes the grand-previous state), letting a scanned caller
         # avoid the carry copy.
-        in_specs = [pl.BlockSpec(memory_space=pltpu.ANY)] + in_specs
+        in_specs = [pl.BlockSpec(memory_space=pl.ANY)] + in_specs
 
         def kernel_fn(donor_ref, *rest):
             del donor_ref  # storage only; never read

@@ -300,8 +300,8 @@ def make_kstep_rdma(
         kernel,
         grid=(n_blocks,),
         in_specs=[
-            pl.BlockSpec(memory_space=pltpu.ANY),   # f
-            pl.BlockSpec(memory_space=pltpu.ANY),   # obstacles
+            pl.BlockSpec(memory_space=pl.ANY),   # f
+            pl.BlockSpec(memory_space=pl.ANY),   # obstacles
             pl.BlockSpec(memory_space=pltpu.VMEM),  # obst halo lo
             pl.BlockSpec(memory_space=pltpu.VMEM),  # obst halo hi
             pl.BlockSpec(memory_space=pltpu.SMEM),  # scalars

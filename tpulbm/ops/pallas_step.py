@@ -248,7 +248,7 @@ def make_local_step(
     )
 
     in_specs = [
-        pl.BlockSpec(memory_space=pltpu.ANY),                    # f (HBM)
+        pl.BlockSpec(memory_space=pl.ANY),                    # f (HBM)
         pl.BlockSpec(memory_space=pltpu.VMEM),                   # halo_lo
         pl.BlockSpec(memory_space=pltpu.VMEM),                   # halo_hi
         pl.BlockSpec((by, nx), lambda i: (i, 0),

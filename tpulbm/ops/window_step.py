@@ -37,11 +37,15 @@ def fused_window_steps(
     w2: float,
     owned: Tuple[slice, slice],
     pair_symmetric: Optional[bool] = None,
+    av_mask: Optional[jnp.ndarray] = None,
 ):
     """Runs ``k_steps`` fused lattice steps on window values ``w`` (nine
     (H, W) planes). ``accel_sel`` selects the accelerated row's cells
     (already modular over the global torus); ``owned`` is the static
-    sub-rectangle whose per-step |u| sums are returned.
+    sub-rectangle whose per-step |u| sums are returned. ``av_mask`` (window-
+    shaped bool, optional) further restricts the sums — the padded runner
+    uses it to exclude periodic-extension mirror rows from the series while
+    still evolving them.
 
     Returns (w_final, parts) with ``parts`` a list of ``k_steps`` float32
     scalars.
@@ -79,6 +83,8 @@ def fused_window_steps(
                 v = pltpu.roll(v, CX[c] % wx, 1)
             t.append(v)
         w, speed = physics.collide(t, blocked, omega, pair_symmetric)
+        if av_mask is not None:
+            speed = jnp.where(av_mask, speed, zero)
         parts.append(
             jnp.sum(speed[owned[0], owned[1]], dtype=jnp.float32)
         )
