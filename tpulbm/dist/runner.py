@@ -613,12 +613,13 @@ def _make_runner_2d_kstep(params: LBMParams, n_steps: int, mesh: Mesh, k: int):
 
     Each shard owns an (h, w) block. Every K steps it runs the corner-carrying
     two-phase slab exchange at K-step granularity — K-wide column slabs over
-    the x ring, then K-row slabs of the x-extended block over the y ring — and
-    advances K fused steps with the 1-D kstep window kernel over an x-extended
-    (h, w+256) local array: the K valid halo columns sit immediately adjacent
-    to the owned ones inside 128-wide lane-aligned pads, so the kernel's
-    in-window x wrap only ever feeds garbage into margins the temporal-blocking
-    analysis already absorbs (see pallas_kstep.make_kstep owned_cols).
+    the x ring (delivered to the kernel as lane-aligned 128-wide margin
+    arrays), then K-row slabs of the x-extended row band over the y ring —
+    and advances K fused steps with the kstep window kernel in ``x_halo``
+    mode: the window is assembled from three DMA pieces (left margin, block,
+    right margin) directly in VMEM, so no x-extended copy of the block is
+    ever materialized in HBM, and the compute runs on a narrow w+2K slice
+    (see pallas_kstep.make_kstep x_halo).
 
     This turns the decomposition the reference's report declined for layout
     reasons (report.odt "MPI Design") into a fused-kernel path: 2 collectives
@@ -630,13 +631,12 @@ def _make_runner_2d_kstep(params: LBMParams, n_steps: int, mesh: Mesh, k: int):
     dy, dx = mesh.devices.shape
     h = validate_even_split(params.ny, dy)
     w = validate_even_col_split(params.nx, dx)
-    nxe = w + 2 * _XPAD
     n_outer, rem = divmod(n_steps, k)
     mk = functools.partial(
         pallas_kstep.make_kstep,
-        h, nxe, ny_global=params.ny, omega=params.omega,
+        h, w, ny_global=params.ny, omega=params.omega,
         accel_w1=params.accel_w1, accel_w2=params.accel_w2,
-        owned_cols=(_XPAD, w),
+        x_halo=True,
     )
     prepare, chunk_k = mk(k_steps=k)
     chunk_r = mk(k_steps=rem)[1] if rem else None
@@ -650,28 +650,33 @@ def _make_runner_2d_kstep(params: LBMParams, n_steps: int, mesh: Mesh, k: int):
         for a, n in ((ay, dy), (ax, dx))
     }
 
-    def extend(g, kk):
-        """(x-extended block, y halo slabs of it) carrying corners."""
+    def exchange(g, kk):
+        """(xlo, xhi, ylo, yhi): 128-wide padded x margins holding kk valid
+        halo columns, and corner-carrying kk-row y slabs of the x-extended
+        band (width 128 + w + 128, matching the kernel's window)."""
         fwd, bwd = perm[ax]
-        xlo = jax.lax.ppermute(g[..., -kk:], ax, fwd)
-        xhi = jax.lax.ppermute(g[..., :kk], ax, bwd)
+        xlo = jax.lax.ppermute(
+            jax.lax.slice_in_dim(g, w - kk, w, axis=-1), ax, fwd
+        )
+        xhi = jax.lax.ppermute(jax.lax.slice_in_dim(g, 0, kk, axis=-1), ax, bwd)
         pad = [(0, 0)] * (g.ndim - 1)
-        ext = jnp.concatenate(
-            [
-                jnp.pad(xlo, pad + [(_XPAD - kk, 0)]),
-                g,
-                jnp.pad(xhi, pad + [(0, _XPAD - kk)]),
-            ],
-            axis=-1,
-        )
+        xlo_p = jnp.pad(xlo, pad + [(_XPAD - kk, 0)])
+        xhi_p = jnp.pad(xhi, pad + [(0, _XPAD - kk)])
+
+        def band(lo, hi):
+            return jnp.concatenate(
+                [
+                    jax.lax.slice_in_dim(xlo_p, lo, hi, axis=-2),
+                    jax.lax.slice_in_dim(g, lo, hi, axis=-2),
+                    jax.lax.slice_in_dim(xhi_p, lo, hi, axis=-2),
+                ],
+                axis=-1,
+            )
+
         fwd, bwd = perm[ay]
-        ylo = jax.lax.ppermute(
-            jax.lax.slice_in_dim(ext, h - kk, h, axis=-2), ay, fwd
-        )
-        yhi = jax.lax.ppermute(
-            jax.lax.slice_in_dim(ext, 0, kk, axis=-2), ay, bwd
-        )
-        return ext, ylo, yhi
+        ylo = jax.lax.ppermute(band(h - kk, h), ay, fwd)
+        yhi = jax.lax.ppermute(band(0, kk), ay, bwd)
+        return xlo_p, xhi_p, ylo, yhi
 
     def body_sharded(f_loc, obst_loc):
         d = jax.lax.axis_index(ay)
@@ -681,21 +686,21 @@ def _make_runner_2d_kstep(params: LBMParams, n_steps: int, mesh: Mesh, k: int):
         obst_f = obst_loc.astype(jnp.float32)
 
         def aux_for(kk):
-            oext, olo, ohi = extend(obst_f, kk)
-            return (oext, olo, ohi)
+            oxlo, oxhi, oylo, oyhi = exchange(obst_f, kk)
+            return prepare(obst_f, oylo, oyhi, oxlo, oxhi)
 
         aux_k = aux_for(k)
 
         def one(g, _):
-            ext, ylo, yhi = extend(g, k)
-            g2, av = chunk_k(ext, ylo, yhi, aux_k, scal)
+            xlo, xhi, ylo, yhi = exchange(g, k)
+            g2, av = chunk_k(g, ylo, yhi, aux_k, scal, xlo, xhi)
             return g2, av * free_inv
 
         f_out, avs = jax.lax.scan(one, f_loc, None, length=n_outer)
         av = avs.reshape(-1)
         if chunk_r is not None:
-            ext, ylo, yhi = extend(f_out, rem)
-            f_out, av_r = chunk_r(ext, ylo, yhi, aux_for(rem), scal)
+            xlo, xhi, ylo, yhi = exchange(f_out, rem)
+            f_out, av_r = chunk_r(f_out, ylo, yhi, aux_for(rem), scal, xlo, xhi)
             av = jnp.concatenate([av, av_r * free_inv])
         return f_out, jax.lax.psum(jax.lax.psum(av, ay), ax)
 
@@ -739,10 +744,9 @@ def supported_2d_kstep(params: LBMParams, mesh: Mesh, k: int) -> bool:
     h = params.ny // dy
     w = params.nx // dx
     return (
-        w % 128 == 0
-        and w >= 128
+        w >= 128
         and h >= 3
-        and pallas_kstep.supported(h, w + 2 * _XPAD, min(k, MAX_K_2D))
+        and pallas_kstep.supported_x_halo(h, w, min(k, MAX_K_2D))
     )
 
 

@@ -38,15 +38,20 @@ from tpulbm.core.lattice import NSPEEDS
 from tpulbm.ops.window_step import fused_window_steps
 
 _MARGIN = 8  # rows of overlap each side; bounds K at 8
-# Window footprint target: (BY+16) * nx elements, sized for VMEM.
+_MX = 128    # lane-aligned column margin of the x_halo window
+# Window footprint target: (BY+16) * window-width elements, sized for VMEM.
 _BLOCK_BUDGET = 48 * 1024
 MAX_K = _MARGIN
 
 
-def pick_block_rows(h: int, nx: int) -> Optional[int]:
+def pick_block_rows(h: int, nx: int, wx: Optional[int] = None) -> Optional[int]:
+    """Largest 8-multiple row block dividing h whose (BY+16, wx) window fits
+    the VMEM budget; ``wx`` defaults to nx (x_halo windows are wider)."""
+    if wx is None:
+        wx = nx
     best = None
     for by in range(8, min(h, 512) + 1, 8):
-        if h % by == 0 and (by + 2 * _MARGIN) * nx <= _BLOCK_BUDGET:
+        if h % by == 0 and (by + 2 * _MARGIN) * wx <= _BLOCK_BUDGET:
             best = by
     return best
 
@@ -57,6 +62,16 @@ def supported(h: int, nx: int, k: int) -> bool:
         and nx % 128 == 0
         and h >= k
         and pick_block_rows(h, nx) is not None
+    )
+
+
+def supported_x_halo(h: int, nx: int, k: int) -> bool:
+    """Shape gate for the x_halo (torus) mode: the window is 2*_MX wider."""
+    return (
+        1 <= k <= MAX_K
+        and nx % 128 == 0
+        and h >= k
+        and pick_block_rows(h, nx, wx=nx + 2 * _MX) is not None
     )
 
 
@@ -90,9 +105,19 @@ def _kernel(
     ox: int = 0,
     ow: int = 0,
     canon_ny: int = 0,
+    xrefs=None,
 ):
+    # xrefs = (xlo_ref, xhi_ref, oxlo_ref, oxhi_ref) in x_halo (torus) mode:
+    # (9, H, _MX) / (H, _MX) HBM refs holding K valid halo columns from the
+    # x ring neighbours inside lane-aligned _MX-wide pads. The window is then
+    # [_MX | nx | _MX] wide, assembled by three DMA pieces per row case, and
+    # the compute runs on a narrow slice nx + 2K wide (only K columns per
+    # side are genuine; the rest is margin the temporal-blocking analysis
+    # absorbs anyway — same trick as pallas_kstep_bands).
     if ow == 0:
         ow = nx
+    mx = _MX if xrefs is not None else 0
+    wx = nx + 2 * mx
     m = _MARGIN
     win = by + 2 * m
     i = pl.program_id(0)
@@ -122,39 +147,49 @@ def _kernel(
             cases.append(((b != 0) & last, b * by - m, by + m, 0))
         return cases
 
-    def make_pair(src_lo, src_sz, dst_lo, s):
+    if xrefs is None:
+        pieces = [(f_ref, obst_ref, 0, nx)]
+    else:
+        xlo_ref, xhi_ref, oxlo_ref, oxhi_ref = xrefs
+        pieces = [
+            (xlo_ref, oxlo_ref, 0, mx),
+            (f_ref, obst_ref, mx, nx),
+            (xhi_ref, oxhi_ref, mx + nx, mx),
+        ]
+
+    def make_copies(src_lo, src_sz, dst_lo, s):
         # Clamp so predicated-off cases still describe an in-bounds copy
         # (the address computation exists even when the case doesn't run).
         # Both clamp bounds are multiples of 8, so the hint stays valid —
         # Mosaic cannot see divisibility through the clip on its own.
         src_lo = pl.multiple_of(jnp.clip(src_lo, 0, h - src_sz), _MARGIN)
-        fc = pltpu.make_async_copy(
-            f_ref.at[:, pl.ds(src_lo, src_sz), :],
-            fbuf.at[s, :, pl.ds(dst_lo, src_sz), :],
-            sem_f.at[s],
-        )
-        oc = pltpu.make_async_copy(
-            obst_ref.at[pl.ds(src_lo, src_sz), :],
-            obuf.at[s, pl.ds(dst_lo, src_sz), :],
-            sem_o.at[s],
-        )
-        return fc, oc
+        copies = []
+        for fsrc, osrc, dst_c, width in pieces:
+            copies.append(pltpu.make_async_copy(
+                fsrc.at[:, pl.ds(src_lo, src_sz), :],
+                fbuf.at[s, :, pl.ds(dst_lo, src_sz), pl.ds(dst_c, width)],
+                sem_f.at[s],
+            ))
+            copies.append(pltpu.make_async_copy(
+                osrc.at[pl.ds(src_lo, src_sz), :],
+                obuf.at[s, pl.ds(dst_lo, src_sz), pl.ds(dst_c, width)],
+                sem_o.at[s],
+            ))
+        return copies
 
     def start_dmas(b, s):
         for pred, src_lo, src_sz, dst_lo in case_copies(b, s):
             @pl.when(pred)
             def _():
-                fc, oc = make_pair(src_lo, src_sz, dst_lo, s)
-                fc.start()
-                oc.start()
+                for c in make_copies(src_lo, src_sz, dst_lo, s):
+                    c.start()
 
     def wait_dmas(b, s):
         for pred, src_lo, src_sz, dst_lo in case_copies(b, s):
             @pl.when(pred)
             def _():
-                fc, oc = make_pair(src_lo, src_sz, dst_lo, s)
-                fc.wait()
-                oc.wait()
+                for c in make_copies(src_lo, src_sz, dst_lo, s):
+                    c.wait()
 
     if slots == 1:
         # no prefetch: fetch-then-compute (trades DMA overlap for the VMEM
@@ -176,7 +211,7 @@ def _kernel(
     zero = np.float32(0.0)
     is_first = i == 0
     is_last = i == n - 1
-    row_ids = jax.lax.broadcasted_iota(jnp.int32, (win, nx), 0)
+    row_ids = jax.lax.broadcasted_iota(jnp.int32, (win, wx), 0)
 
     def assemble(buf_plane, lo_halo, hi_halo):
         """Window plane with shard-halo substitution at the global edges.
@@ -193,9 +228,18 @@ def _kernel(
                       & (row_ids < by + m + k_steps), hi_full, v)
         return v
 
-    w = [assemble(fbuf[slot, c], lo_ref[c], hi_ref[c])
+    if xrefs is not None:
+        # narrow compute window: only K halo columns per side are genuine
+        x0 = mx - k_steps
+        wxn = nx + 2 * k_steps
+        ox, ow = k_steps, nx
+    else:
+        x0 = 0
+        wxn = wx
+
+    w = [assemble(fbuf[slot, c], lo_ref[c], hi_ref[c])[:, x0 : x0 + wxn]
          for c in range(NSPEEDS)]
-    o = assemble(obuf[slot], olo_ref[:], ohi_ref[:])
+    o = assemble(obuf[slot], olo_ref[:], ohi_ref[:])[:, x0 : x0 + wxn]
     blocked = o != zero
 
     # Select every window row whose GLOBAL row is the accelerated one —
@@ -205,15 +249,16 @@ def _kernel(
     a_glob = scal_ref[0, 0]
     shard_off = scal_ref[0, 1]
     win_start = shard_off + i * by - m  # global row of window row 0
+    row_ids_n = jax.lax.broadcasted_iota(jnp.int32, (win, wxn), 0)
     a_off = jax.lax.rem(a_glob - win_start + 2 * ny_global, ny_global)
-    accel_sel = jax.lax.rem(row_ids - a_off + 2 * ny_global, ny_global) == 0
+    accel_sel = jax.lax.rem(row_ids_n - a_off + 2 * ny_global, ny_global) == 0
 
     # Periodic-extension padding (padded runner): mirror rows (padded global
     # index >= real ny) evolve like their originals but are excluded from
     # the |u| series so canonical cells count exactly once.
     av_mask = None
     if canon_ny:
-        av_mask = (win_start + row_ids) < canon_ny
+        av_mask = (win_start + row_ids_n) < canon_ny
 
     # -- K fused steps, constant window shape (see ops.window_step) ---------
     w, parts = fused_window_steps(
@@ -253,6 +298,7 @@ def make_kstep(
     alias_donor: bool = False,
     owned_cols: Optional[tuple] = None,
     canon_ny: int = 0,
+    x_halo: bool = False,
 ):
     """Returns ``(prepare, chunk)``:
 
@@ -272,10 +318,23 @@ def make_kstep(
     mirrors — they step like their originals but are excluded from the |u|
     series. ``ny_global`` is then also the real ny, so the modular accel
     selection hits the mirror of the accelerated row too.
+
+    ``x_halo=True`` (the torus runner): the local block is (9, h, nx) with
+    BOTH axes sharded; x halos arrive as separate (9, h, _MX) HBM arrays
+    (K valid columns inside lane-aligned pads) and the y halos are
+    (9, K, nx + 2*_MX) corner-carrying slabs of the x-extended row band.
+    chunk then takes ``(f, halo_lo, halo_hi, aux, scal, xlo, xhi)`` and
+    prepare ``(obstacles, olo, ohi, oxlo, oxhi)``. This replaces
+    materializing an x-extended copy of the whole block per K steps with
+    two _MX-wide margin DMA pieces per window.
     """
+    if x_halo and (alias_donor or owned_cols is not None):
+        raise ValueError("x_halo is incompatible with alias_donor/owned_cols")
+    wx = nx + 2 * _MX if x_halo else nx
     if by is None:
-        by = pick_block_rows(h, nx)
-    if by is None or not supported(h, nx, k_steps) or h % by or by % 8:
+        by = pick_block_rows(h, nx, wx=wx)
+    ok = supported_x_halo(h, nx, k_steps) if x_halo else supported(h, nx, k_steps)
+    if by is None or not ok or h % by or by % 8:
         raise ValueError(
             f"kstep kernel unsupported for local shape ({h}, {nx}), K={k_steps}"
         )
@@ -303,7 +362,24 @@ def make_kstep(
     ]
     kernel_fn = kernel
     io_aliases = {}
-    if alias_donor:
+    if x_halo:
+        # x-halo margins travel as HBM refs right after their main arrays
+        in_specs = (
+            in_specs[:1]
+            + [pl.BlockSpec(memory_space=pl.ANY)] * 2      # xlo, xhi
+            + in_specs[1:4]
+            + [pl.BlockSpec(memory_space=pl.ANY)] * 2      # oxlo, oxhi
+            + in_specs[4:]
+        )
+
+        def kernel_fn(f_ref, xlo_ref, xhi_ref, lo_ref, hi_ref, obst_ref,
+                      oxlo_ref, oxhi_ref, olo_ref, ohi_ref, scal_ref, *rest):
+            return kernel(
+                f_ref, lo_ref, hi_ref, obst_ref, olo_ref, ohi_ref, scal_ref,
+                *rest, xrefs=(xlo_ref, xhi_ref, oxlo_ref, oxhi_ref),
+            )
+
+    elif alias_donor:
         # Explicit ping-pong: the output lands in a donated buffer (the
         # caller passes the grand-previous state), letting a scanned caller
         # avoid the carry copy.
@@ -330,8 +406,8 @@ def make_kstep(
             jax.ShapeDtypeStruct((k_steps, 1), jnp.float32),
         ],
         scratch_shapes=[
-            pltpu.VMEM((slots, NSPEEDS, by + 2 * _MARGIN, nx), jnp.float32),
-            pltpu.VMEM((slots, by + 2 * _MARGIN, nx), jnp.float32),
+            pltpu.VMEM((slots, NSPEEDS, by + 2 * _MARGIN, wx), jnp.float32),
+            pltpu.VMEM((slots, by + 2 * _MARGIN, wx), jnp.float32),
             pltpu.SemaphoreType.DMA((slots,)),
             pltpu.SemaphoreType.DMA((slots,)),
             pltpu.SMEM((k_steps, 1), jnp.float32),
@@ -346,6 +422,26 @@ def make_kstep(
         ),
         interpret=interpret,
     )
+
+    if x_halo:
+        def prepare(obstacles, olo, ohi, oxlo, oxhi):
+            return (
+                obstacles.astype(jnp.float32),
+                olo.astype(jnp.float32),
+                ohi.astype(jnp.float32),
+                oxlo.astype(jnp.float32),
+                oxhi.astype(jnp.float32),
+            )
+
+        def chunk(f, halo_lo, halo_hi, aux, scal, xlo, xhi):
+            obst_f, olo_f, ohi_f, oxlo_f, oxhi_f = aux
+            f_out, av = call(
+                f, xlo, xhi, halo_lo, halo_hi, obst_f, oxlo_f, oxhi_f,
+                olo_f, ohi_f, scal,
+            )
+            return f_out, av[:, 0]
+
+        return prepare, chunk
 
     def prepare(obstacles, olo, ohi):
         return (
