@@ -98,6 +98,76 @@ def test_random_config_kstep2d_tier(monkeypatch):
     np.testing.assert_allclose(np.asarray(av), np.asarray(av_ref), rtol=3e-5)
 
 
+# (seed, ny, nx, n_dev) — unaligned rows: the periodic-extension padded
+# K-step tier (backend='pallas' dispatch, dist/runner padded=True).
+PADDED_CASES = [
+    (10, 19, 128, 1),    # pad=5, single device
+    (11, 37, 256, 2),    # pad=11 over a 2-ring
+    (12, 121, 128, 3),   # pad spans >1 row block
+]
+
+
+@pytest.mark.parametrize("seed,ny,nx,n_dev", PADDED_CASES)
+def test_random_padded_configs_match_oracle(seed, ny, nx, n_dev):
+    rng = np.random.RandomState(seed)
+    params = LBMParams(
+        nx=nx, ny=ny, max_iters=1, reynolds_dim=int(rng.randint(1, 50)),
+        density=float(np.float32(0.05 + 0.2 * rng.rand())),
+        accel=float(np.float32(0.002 + 0.01 * rng.rand())),
+        omega=float(np.float32(0.8 + 0.9 * rng.rand())),
+    )
+    mask = rng.rand(ny, nx) < rng.uniform(0.0, 0.25)
+    params = params.with_free_cells(ny * nx - int(mask.sum()))
+    obst = jnp.asarray(mask)
+    f0 = np.asarray(initial_state(params))
+    f0 = f0 * (1.0 + 0.1 * rng.rand(*f0.shape).astype(np.float32))
+    n = int(rng.randint(9, 22))
+
+    from tpulbm.dist.runner import supported_padded_kstep
+
+    assert supported_padded_kstep(params, n_dev, 8)
+    f_ref, av_ref = run_steps(jnp.asarray(f0), obst, params, n)
+    runner = make_runner(params, n, get_mesh(n_devices=n_dev),
+                         backend="pallas")
+    f, av = runner(jnp.asarray(f0), obst)
+    np.testing.assert_allclose(
+        np.asarray(f), np.asarray(f_ref), rtol=0, atol=1e-6,
+        err_msg=str((seed, ny, nx, n_dev)),
+    )
+    np.testing.assert_allclose(np.asarray(av), np.asarray(av_ref), rtol=3e-5)
+
+
+@pytest.mark.parametrize("seed,dy,dx", [(20, 2, 4), (21, 4, 2)])
+def test_random_torus_xhalo_matches_oracle(seed, dy, dx):
+    """The x_halo torus kstep tier under random physics/obstacles."""
+    from tpulbm.dist.mesh import get_mesh_2d
+    from tpulbm.dist.sharding import shard_arrays
+
+    rng = np.random.RandomState(seed)
+    ny, nx = 64, 512
+    params = LBMParams(
+        nx=nx, ny=ny, max_iters=1, reynolds_dim=10,
+        density=float(np.float32(0.05 + 0.2 * rng.rand())),
+        accel=float(np.float32(0.002 + 0.01 * rng.rand())),
+        omega=float(np.float32(0.8 + 0.9 * rng.rand())),
+    )
+    mask = rng.rand(ny, nx) < 0.12
+    params = params.with_free_cells(ny * nx - int(mask.sum()))
+    obst = jnp.asarray(mask)
+    f0 = np.asarray(initial_state(params))
+    f0 = f0 * (1.0 + 0.1 * rng.rand(*f0.shape).astype(np.float32))
+    n = int(rng.randint(9, 22))
+
+    f_ref, av_ref = run_steps(jnp.asarray(f0), obst, params, n)
+    mesh = get_mesh_2d(dy, dx)
+    runner = make_runner(params, n, mesh=mesh, backend="pallas")
+    fs, os_ = shard_arrays(mesh, jnp.asarray(f0), obst)
+    f, av = runner(fs, os_)
+    np.testing.assert_allclose(np.asarray(f), np.asarray(f_ref),
+                               rtol=0, atol=1e-6)
+    np.testing.assert_allclose(np.asarray(av), np.asarray(av_ref), rtol=3e-5)
+
+
 @pytest.fixture(autouse=True)
 def _canonical_feq(monkeypatch):
     """Bitwise kernel-vs-oracle differentials run the canonical equilibrium
