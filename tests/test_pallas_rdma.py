@@ -17,6 +17,16 @@ from tpulbm.dist.runner import make_runner
 from tpulbm.ops.step_jnp import run_steps
 
 
+@pytest.fixture(autouse=True)
+def _pin_kstep_rdma_tier(monkeypatch):
+    """These shapes now prefer the VMEM-resident RDMA tier
+    (test_pallas_resident_rdma.py); pin the kstep-RDMA kernel under test."""
+    from tpulbm.ops import pallas_resident_rdma
+
+    monkeypatch.setattr(pallas_resident_rdma, "supported",
+                        lambda *a, **k: False)
+
+
 @pytest.mark.parametrize("n_dev,n_steps", [
     (2, 16),   # exact outer chunks
     (8, 19),   # remainder path (ppermute fallback for the tail)

@@ -18,13 +18,22 @@ Backend tiering under ``backend='pallas'`` (auto on TPU):
 1. ``ops.pallas_resident`` — small grids, whole state in VMEM, 512 fused
    steps per kernel call (single device only);
 2. ``ops.pallas_kstep`` — K=8-step temporal blocking over full-width row
-   blocks;
-3. ``ops.pallas_kstep2d`` — same, tiled in both axes for wide grids;
-4. ``ops.pallas_step`` — 1-step streaming fallback (in practice the K-step
-   tiers cover its shape range; retained as a safety net and as the
-   simplest-possible reference kernel);
-5. ``ops.step_local`` — pure-jnp fallback for unsupported shapes
+   blocks (donor-aliased scan ping-pong);
+3. ``ops.pallas_kstep_bands`` — wide grids: band-major layout keeps the
+   main window DMA contiguous (the band ring is the x torus);
+4. ``ops.pallas_kstep2d`` — row-major 2-D tiling fallback for shapes the
+   band layout can't take;
+5. periodic-extension padded ``pallas_kstep`` — ANY (ny, n_devices)
+   (``_make_kstep_runner(padded=True)``);
+6. ``ops.pallas_step`` — 1-step streaming fallback (retained as a safety
+   net and as the simplest-possible reference kernel);
+7. ``ops.step_local`` — pure-jnp fallback for unsupported shapes
    (also ``backend='jnp'``, the differential-test oracle).
+
+``backend='pallas-rdma'`` moves the halo exchange in-kernel over ICI:
+``ops.pallas_resident_rdma`` (shard resident in VMEM across ~512 steps)
+when the shard fits, else ``ops.pallas_kstep_rdma``; 2-D meshes route to
+the x-halo torus kstep tier (``_make_runner_2d_kstep``).
 """
 
 from __future__ import annotations
@@ -496,6 +505,89 @@ def _make_rdma_runner(
     return runner
 
 
+def _make_resident_rdma_runner(
+    params: LBMParams,
+    n_steps: int,
+    mesh: Mesh,
+    axis_name: str = AXIS,
+    max_outer_per_call: int = 64,
+):
+    """Runner over the multi-device VMEM-resident kernel: the shard stays in
+    VMEM across ``n_outer`` K-step iterations per kernel call, edge slabs
+    riding ICI in-kernel (ops/pallas_resident_rdma.py). HBM sees the state
+    only at call boundaries (~512 steps), vs 2 passes per K steps for the
+    kstep tiers. Remainder steps (< K) go through the ppermute kstep kernel."""
+    from tpulbm.ops import pallas_kstep, pallas_resident_rdma
+
+    n_dev = mesh.devices.size
+    h = params.ny // n_dev
+    k = min(pallas_resident_rdma.MAX_K, n_steps)
+    total_outer, rem = divmod(n_steps, k)
+    c_outer = min(total_outer, max_outer_per_call)
+    n_calls, rem_outer = divmod(total_outer, c_outer) if c_outer else (0, 0)
+    mk = functools.partial(
+        pallas_resident_rdma.make_resident_rdma,
+        h, params.nx, ny_global=params.ny, omega=params.omega,
+        accel_w1=params.accel_w1, accel_w2=params.accel_w2,
+        axis_name=axis_name,
+    )
+    prepare, chunk = mk(k_steps=k, n_outer=c_outer)
+    chunk_ro = mk(k_steps=k, n_outer=rem_outer)[1] if rem_outer else None
+    chunk_rem = None
+    if rem:
+        _, chunk_rem = pallas_kstep.make_kstep(
+            h, params.nx, rem, ny_global=params.ny, omega=params.omega,
+            accel_w1=params.accel_w1, accel_w2=params.accel_w2,
+        )
+    free_inv = jnp.float32(params.free_cells_inv)
+    accel_glob = params.accel_row
+    slab2, slab3 = _ring_slabs(n_dev, axis_name)
+
+    def body(f_loc, obst_loc):
+        d = jax.lax.axis_index(axis_name)
+        off = (d * h).astype(jnp.int32)
+        obst_f = obst_loc.astype(jnp.float32)
+        olo, ohi = slab2(obst_f, k)
+        aux = prepare(obst_f, olo, ohi)
+
+        def scal_for(par):
+            return jnp.stack([jnp.int32(accel_glob), off, par]).reshape(1, 3)
+
+        def one(g, par):
+            g2, av = chunk(g, aux, scal_for(par))
+            return g2, av * free_inv
+
+        # base parity of each call continues the alternation across calls
+        parities = ((jnp.arange(n_calls) * c_outer) % 2).astype(jnp.int32)
+        f_out, avs = jax.lax.scan(one, f_loc, parities)
+        av = avs.reshape(-1)
+        if chunk_ro is not None:
+            par = jnp.int32((n_calls * c_outer) % 2)
+            f_out, av_ro = chunk_ro(f_out, aux, scal_for(par))
+            av = jnp.concatenate([av, av_ro * free_inv])
+        if chunk_rem is not None:
+            hlo, hhi = slab3(f_out, rem)
+            scal2 = jnp.stack([jnp.int32(accel_glob), off]).reshape(1, 2)
+            aux_r = (obst_f, olo[-rem:], ohi[:rem])
+            f_out, av_r = chunk_rem(f_out, hlo, hhi, aux_r, scal2)
+            av = jnp.concatenate([av, av_r * free_inv])
+        return f_out, jax.lax.psum(av, axis_name)
+
+    sharded = jax.shard_map(
+        body,
+        mesh=mesh,
+        in_specs=(P(None, axis_name, None), P(axis_name, None)),
+        out_specs=(P(None, axis_name, None), P()),
+        check_vma=False,
+    )
+
+    @functools.partial(jax.jit, donate_argnums=0)
+    def runner(f, obstacles):
+        return sharded(f, obstacles)
+
+    return runner
+
+
 def _make_padded_runner(
     params: LBMParams,
     n_steps: int,
@@ -894,8 +986,16 @@ def make_runner(
         return _make_padded_runner(params, n_steps, mesh, axis_name)
     rows_local = params.ny // n_dev
     if backend == "pallas-rdma":
-        from tpulbm.ops import pallas_kstep_rdma
+        from tpulbm.ops import pallas_kstep_rdma, pallas_resident_rdma
 
+        if pallas_resident_rdma.supported(
+            rows_local, params.nx,
+            min(pallas_resident_rdma.MAX_K, n_steps), n_dev,
+        ):
+            # Shard fits VMEM: hold it there across ~512 steps per kernel
+            # call, edge slabs riding ICI in-kernel (zero HBM state traffic
+            # between call boundaries).
+            return _make_resident_rdma_runner(params, n_steps, mesh, axis_name)
         if pallas_kstep_rdma.supported(
             rows_local, params.nx, min(pallas_kstep_rdma.MAX_K, n_steps), n_dev
         ):
