@@ -237,9 +237,19 @@ def _kernel(
         x0 = 0
         wxn = wx
 
-    w = [assemble(fbuf[slot, c], lo_ref[c], hi_ref[c])[:, x0 : x0 + wxn]
+    # Row-narrowed compute: DMA margins stay 8 rows (sublane-aligned
+    # offsets), but the K fused steps only contaminate K rows inward per
+    # side, so the compute runs on a (by + 2K)-row slice — for K < 8 this
+    # removes pure-garbage margin rows (same absorption argument as the
+    # column narrowing above; one sublane relayout per K-chunk).
+    y0 = m - k_steps
+    wyn = by + 2 * k_steps
+
+    w = [assemble(fbuf[slot, c], lo_ref[c], hi_ref[c])[y0 : y0 + wyn,
+                                                       x0 : x0 + wxn]
          for c in range(NSPEEDS)]
-    o = assemble(obuf[slot], olo_ref[:], ohi_ref[:])[:, x0 : x0 + wxn]
+    o = assemble(obuf[slot], olo_ref[:], ohi_ref[:])[y0 : y0 + wyn,
+                                                     x0 : x0 + wxn]
     blocked = o != zero
 
     # Select every window row whose GLOBAL row is the accelerated one —
@@ -248,8 +258,8 @@ def _kernel(
     # copies must be accelerated identically.
     a_glob = scal_ref[0, 0]
     shard_off = scal_ref[0, 1]
-    win_start = shard_off + i * by - m  # global row of window row 0
-    row_ids_n = jax.lax.broadcasted_iota(jnp.int32, (win, wxn), 0)
+    win_start = shard_off + i * by - k_steps  # global row of narrow row 0
+    row_ids_n = jax.lax.broadcasted_iota(jnp.int32, (wyn, wxn), 0)
     a_off = jax.lax.rem(a_glob - win_start + 2 * ny_global, ny_global)
     accel_sel = jax.lax.rem(row_ids_n - a_off + 2 * ny_global, ny_global) == 0
 
@@ -263,7 +273,7 @@ def _kernel(
     # -- K fused steps, constant window shape (see ops.window_step) ---------
     w, parts = fused_window_steps(
         w, blocked, accel_sel, k_steps, omega, w1, w2,
-        owned=(slice(m, m + by), slice(ox, ox + ow)),
+        owned=(slice(k_steps, k_steps + by), slice(ox, ox + ow)),
         av_mask=av_mask,
     )
     for s, part in enumerate(parts):
@@ -276,7 +286,7 @@ def _kernel(
             acc[s, 0] += part
 
     for c in range(NSPEEDS):
-        out_ref[c] = w[c][m : m + by, ox : ox + ow]
+        out_ref[c] = w[c][k_steps : k_steps + by, ox : ox + ow]
 
     @pl.when(i == n - 1)
     def _():
