@@ -59,11 +59,12 @@ def main():
                  (96, 512), (16, 2048), (128, 256)]:
         if ny % tile[0] or nx % tile[1] or nx == tile[1]:
             continue
-        variants.append((
-            f"bands-{tile[0]}x{tile[1]}",
-            functools.partial(_make_kstep_bands_runner, params, n, mesh,
-                              k=8, tile=tile),
-        ))
+        for narrow in (True, False):
+            variants.append((
+                f"bands-{tile[0]}x{tile[1]}{'' if narrow else '-full'}",
+                functools.partial(_make_kstep_bands_runner, params, n, mesh,
+                                  k=8, tile=tile, narrow_cols=narrow),
+            ))
 
     results = {}
     for label, build in variants:

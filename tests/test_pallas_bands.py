@@ -42,7 +42,8 @@ def test_band_round_trip():
 
 
 def test_pick_bands():
-    assert pkb.pick_bands(4096, 4096) == (64, 512)
+    assert pkb.pick_bands(4096, 4096) == (32, 1024)
+    assert pkb.pick_bands(4096, 4096, narrow_cols=True) == (64, 512)
     assert pkb.pick_bands(128, 128) is None  # needs >= 2 bands
     assert pkb.supported(4096, 4096, 8)
     assert not pkb.supported(128, 100, 8)
@@ -76,13 +77,16 @@ def test_bands_many_bands_and_blocks():
     assert np.array_equal(np.asarray(f), np.asarray(f_ref))
 
 
-def test_runner_prefers_bands_for_wide_grids(monkeypatch):
-    """make_runner routes wide grids to the band tier (pallas backend)."""
+def test_runner_falls_back_to_bands(monkeypatch):
+    """make_runner routes wide grids to the band tier when the 1-D kstep
+    and row-major 2-D tilings are unsupported (pallas backend)."""
     import tpulbm.ops.pallas_kstep as pk
+    import tpulbm.ops.pallas_kstep2d as pk2
     from tpulbm.dist.runner import make_runner
     import tpulbm.ops.pallas_resident as pr
 
     monkeypatch.setattr(pk, "_BLOCK_BUDGET", 100)   # 1-D kstep unsupported
+    monkeypatch.setattr(pk2, "supported", lambda *a, **k: False)
     monkeypatch.setattr(pr, "supported", lambda *a: False)
     params, mask = _box_problem(64, 512)
     obst = jnp.asarray(mask)
@@ -92,3 +96,17 @@ def test_runner_prefers_bands_for_wide_grids(monkeypatch):
     f, av = runner(initial_state(params), obst)
     assert np.array_equal(np.asarray(f), np.asarray(f_ref))
     assert av.shape == (n,)
+
+
+def test_bands_full_width_compute_matches_oracle():
+    """narrow_cols=False computes the full loaded window (no lane relayout);
+    must be bitwise the same physics."""
+    params, mask = _box_problem(64, 512)
+    obst = jnp.asarray(mask)
+    f_ref, av_ref = run_steps(initial_state(params), obst, params, 16)
+    runner = _make_kstep_bands_runner(
+        params, 16, get_mesh(n_devices=1), k=8, narrow_cols=False
+    )
+    f, av = runner(initial_state(params), obst)
+    assert np.array_equal(np.asarray(f), np.asarray(f_ref))
+    np.testing.assert_allclose(np.asarray(av), np.asarray(av_ref), rtol=2e-5)

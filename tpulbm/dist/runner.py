@@ -19,10 +19,10 @@ Backend tiering under ``backend='pallas'`` (auto on TPU):
    steps per kernel call (single device only);
 2. ``ops.pallas_kstep`` — K=8-step temporal blocking over full-width row
    blocks (donor-aliased scan ping-pong);
-3. ``ops.pallas_kstep_bands`` — wide grids: band-major layout keeps the
-   main window DMA contiguous (the band ring is the x torus);
-4. ``ops.pallas_kstep2d`` — row-major 2-D tiling fallback for shapes the
-   band layout can't take;
+3. ``ops.pallas_kstep2d`` — wide grids: 2-D row-major tiling (measured
+   fastest in every hardware window sampled so far);
+4. ``ops.pallas_kstep_bands`` — band-major layout with contiguous main
+   window DMA (fallback / A-B alternative for wide grids);
 5. periodic-extension padded ``pallas_kstep`` — ANY (ny, n_devices)
    (``_make_kstep_runner(padded=True)``);
 6. ``ops.pallas_step`` — 1-step streaming fallback (retained as a safety
@@ -335,6 +335,7 @@ def _make_kstep_bands_runner(
     k: int,
     axis_name: str = AXIS,
     tile=None,
+    narrow_cols: bool = False,
 ):
     """Runner over the band-major K-step kernel (wide grids): the state lives
     as (NB, 9, H, BW) contiguous column bands for the whole runner call
@@ -346,7 +347,7 @@ def _make_kstep_bands_runner(
     n_dev = mesh.devices.size
     h = params.ny // n_dev
     if tile is None:
-        tile = pkb.pick_bands(h, params.nx)
+        tile = pkb.pick_bands(h, params.nx, narrow_cols)
     by, bw = tile
     nb = params.nx // bw
     n_outer, rem = divmod(n_steps, k)
@@ -354,6 +355,7 @@ def _make_kstep_bands_runner(
         pkb.make_kstep_bands,
         h, params.nx, ny_global=params.ny, omega=params.omega,
         accel_w1=params.accel_w1, accel_w2=params.accel_w2, tile=tile,
+        narrow_cols=narrow_cols,
     )
     prepare, chunk_k = mk(k_steps=k)
     chunk_r = mk(k_steps=rem)[1] if rem else None
@@ -1023,22 +1025,25 @@ def make_runner(
             return _make_kstep_runner(
                 params, n_steps, mesh, k, axis_name, alias_donor=True
             )
-        from tpulbm.ops import pallas_kstep_bands
-
-        if pallas_kstep_bands.supported(rows_local, params.nx, k):
-            # Wide grids: full rows no longer fit the VMEM window; band-major
-            # layout keeps the main window DMA contiguous (the x torus is the
-            # band ring).
-            return _make_kstep_bands_runner(params, n_steps, mesh, k, axis_name)
         from tpulbm.ops import pallas_kstep2d
 
         if pallas_kstep2d.supported(rows_local, params.nx, k):
-            # Fallback 2-D row-major tiling (strided DMAs; kept for shapes
-            # the band layout can't take and for A/B comparison).
+            # Wide grids: full rows no longer fit the VMEM window — 2-D
+            # row-major tiling. Measured faster than the band-major tier in
+            # every hardware window sampled so far (three same-process
+            # sweeps, docs/measurements/round2.md); the bands tier remains
+            # available via _make_kstep_bands_runner for tuning/A-B.
             return _make_kstep_runner(
                 params, n_steps, mesh, k, axis_name,
                 maker=pallas_kstep2d.make_kstep2d,
             )
+        from tpulbm.ops import pallas_kstep_bands
+
+        if pallas_kstep_bands.supported(rows_local, params.nx, k):
+            # Band-major layout: the main window DMA is contiguous (the x
+            # torus is the band ring); covers shapes the row-major tiling
+            # can't take.
+            return _make_kstep_bands_runner(params, n_steps, mesh, k, axis_name)
         if supported_padded_kstep(params, n_dev, k):
             # Even split but rows not 8-aligned (e.g. ny=1001 on 1 device):
             # periodic-extension padding puts it back on the fast kernel.

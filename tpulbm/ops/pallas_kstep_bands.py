@@ -19,6 +19,14 @@ x periodicity: band b's left margin comes from band (b-1) mod NB, right from
 needed (the window rolls wrap garbage into margins, absorbed by the same
 analysis as the 1-D kernel's owned_cols mode).
 
+Left-margin reuse: the grid iterates (row block, band) with the band index
+innermost, so the window for (i, b+1) shares its row block with (i, b) and
+its left margin IS the tail of (i, b)'s main piece — already sitting in the
+other VMEM slot. The kernel copies it VMEM-to-VMEM (contiguous, local)
+instead of re-fetching it from HBM, halving the strided margin traffic;
+only the right margin and the b == 0 wrap (band NB-1 at a new row block)
+still come from HBM.
+
 Narrow compute window: DMA offsets must stay 128-lane aligned, so the
 *loaded* window keeps 128-column margins — but the K fused steps only
 contaminate ``k`` columns inward per side, so the *compute* runs on an
@@ -46,17 +54,22 @@ from tpulbm.ops.window_step import fused_window_steps
 _MY = 8     # row margin (Mosaic sublane alignment; bounds K at 8)
 _MX = 128   # column margin (lane alignment)
 MAX_K = _MY
-# Footprint target (f32 elements) for one *loaded* (WY, WX) plane. The
-# compute window is narrower (bw + 2K columns), so the budget governs DMA
-# buffers only; 64K admits (64, 512) at nx=4096 (~10 MB total VMEM).
+# Footprint target (f32 elements) for one *loaded* (WY, WX) plane. In
+# narrow mode the lane relayout materializes a second window copy, so the
+# budget is tighter; full-width compute affords more (measured: (16, 2048)
+# at 73K compiles in full mode, fails in narrow).
 _WINDOW_BUDGET = 64 * 1024
+_WINDOW_BUDGET_FULL = 80 * 1024
 
 
-def pick_bands(h: int, nx: int) -> Optional[Tuple[int, int]]:
-    """(BY, BW): band width and row block minimizing *compute*-window
-    overhead (narrow window, lane-tile rounded) within the VMEM budget on
-    the *loaded* window; ties prefer wider bands (more contiguous DMA,
-    fewer margin bytes)."""
+def pick_bands(h: int, nx: int,
+               narrow_cols: bool = False) -> Optional[Tuple[int, int]]:
+    """(BY, BW): band width and row block minimizing compute-window overhead
+    within the VMEM budget; ties prefer wider bands (more contiguous DMA,
+    fewer margin bytes). With full-width compute (the production default)
+    the overhead IS the loaded-window ratio; in narrow mode it is the
+    lane-tile-rounded narrow plane."""
+    budget = _WINDOW_BUDGET if narrow_cols else _WINDOW_BUDGET_FULL
     best = None
     best_key = None
     for bw in (2048, 1024, 512, 256, 128):
@@ -66,10 +79,13 @@ def pick_bands(h: int, nx: int) -> Optional[Tuple[int, int]]:
             if h % by:
                 continue
             window = (by + 2 * _MY) * (bw + 2 * _MX)
-            if window > _WINDOW_BUDGET:
+            if window > budget:
                 continue
-            # effective compute plane: narrow window rounded to lane tiles
-            eff = (by + 2 * _MY) * (-(-(bw + 2 * _MY) // 128) * 128)
+            if narrow_cols:
+                # effective compute plane: narrow window, lane-tile rounded
+                eff = (by + 2 * _MY) * (-(-(bw + 2 * _MY) // 128) * 128)
+            else:
+                eff = window
             key = (eff / (by * bw), -bw)
             if best_key is None or key < best_key:
                 best_key = key
@@ -111,6 +127,7 @@ def _kernel(
     fbuf,         # (2, 9, WY, WX) VMEM
     obuf,         # (2, WY, WX) VMEM
     sem_f, sem_o,  # DMA semaphores (2,)
+    sem_l,        # local (VMEM-to-VMEM) left-margin copy semaphore (2,)
     acc,          # (K, 1) SMEM
     *,
     by: int,
@@ -122,24 +139,27 @@ def _kernel(
     omega: float,
     w1: float,
     w2: float,
+    narrow_cols: bool = False,
 ):
     my, mx = _MY, _MX
     wy = by + 2 * my
     wx = bw + 2 * mx
-    b = pl.program_id(0)
-    i = pl.program_id(1)
-    nrow = pl.num_programs(1)
-    lin = b * nrow + i
+    # Band index INNERMOST: (i, b) and (i, b+1) share a row block, so the
+    # left margin of b+1 is the tail of b's main piece, reused from VMEM.
+    i = pl.program_id(0)
+    b = pl.program_id(1)
+    nrow = pl.num_programs(0)
+    lin = i * nb + b
     slot = jax.lax.rem(lin, 2)
     nslot = jax.lax.rem(lin + 1, 2)
     n_static = h // by
 
-    def band_pieces(bb):
+    def band_pieces(bb, with_left):
         # (src_band, src_col, dst_col, width): the x torus via the band ring.
         left = jax.lax.rem(bb - 1 + nb, nb)
         right = jax.lax.rem(bb + 1, nb)
-        return [
-            (left, bw - mx, 0, mx),
+        pieces = [] if not with_left else [(left, bw - mx, 0, mx)]
+        return pieces + [
             (bb, 0, mx, bw),
             (right, 0, mx + bw, mx),
         ]
@@ -160,8 +180,8 @@ def _kernel(
             cases.append(((b_row != 0) & last, b_row * by - my, by + my, 0))
         return cases
 
-    def dmas(bb, b_row, s, do_start):
-        pieces = band_pieces(bb)
+    def dmas(bb, b_row, s, do_start, with_left):
+        pieces = band_pieces(bb, with_left)
         for pred, src_row, row_sz, dst_row in row_cases(b_row):
             @pl.when(pred)
             def _():
@@ -190,16 +210,65 @@ def _kernel(
                         fc.wait()
                         oc.wait()
 
+    def local_left(src_s, dst_s, do_start):
+        # Left margin of the NEXT window (same row block, band b+1) = the
+        # tail of THIS window's main piece: a contiguous VMEM-to-VMEM copy
+        # (full wy rows; rows outside the loaded region copy garbage, which
+        # the margin analysis absorbs exactly as for the HBM path).
+        fc = pltpu.make_async_copy(
+            fbuf.at[src_s, :, :, pl.ds(bw, mx)],
+            fbuf.at[dst_s, :, :, pl.ds(0, mx)],
+            sem_l.at[dst_s],
+        )
+        oc = pltpu.make_async_copy(
+            obuf.at[src_s, :, pl.ds(bw, mx)],
+            obuf.at[dst_s, :, pl.ds(0, mx)],
+            sem_l.at[dst_s],
+        )
+        if do_start:
+            fc.start()
+            oc.start()
+        else:
+            fc.wait()
+            oc.wait()
+
+    nxt = lin + 1
+    nxt_b = jax.lax.rem(nxt, nb)
+    have_next = nxt < nb * nrow
+
+    # Wait for the inbound local left-margin copy FIRST: it reads the other
+    # slot's main-piece tail, which the prefetch below is about to overwrite.
+    @pl.when(b != 0)
+    def _():
+        local_left(nslot, slot, False)
+
     @pl.when(lin == 0)
     def _():
-        dmas(jnp.int32(0), jnp.int32(0), 0, True)
+        dmas(jnp.int32(0), jnp.int32(0), 0, True, with_left=True)
 
-    @pl.when(lin + 1 < nb * nrow)
+    # Prefetch the next window's HBM pieces (its left margin comes from HBM
+    # only at the band-ring wrap, where the row block changes).
+    @pl.when(have_next & (nxt_b == 0))
     def _():
-        nxt = lin + 1
-        dmas(nxt // nrow, jax.lax.rem(nxt, nrow), nslot, True)
+        dmas(nxt_b, nxt // nb, nslot, True, with_left=True)
 
-    dmas(b, i, slot, False)
+    @pl.when(have_next & (nxt_b != 0))
+    def _():
+        dmas(nxt_b, nxt // nb, nslot, True, with_left=False)
+
+    # Wait for this window's HBM pieces.
+    @pl.when(b == 0)
+    def _():
+        dmas(b, i, slot, False, with_left=True)
+
+    @pl.when(b != 0)
+    def _():
+        dmas(b, i, slot, False, with_left=False)
+
+    # This window is now complete — hand its main-piece tail to the next.
+    @pl.when(have_next & (nxt_b != 0))
+    def _():
+        local_left(slot, nslot, True)
 
     # -- window assembly ----------------------------------------------------
     zero = np.float32(0.0)
@@ -211,7 +280,7 @@ def _kernel(
         # (K, WX) halo plane across the band ring (window width incl. the
         # neighbour-band margins).
         parts = []
-        for src_b, src_c, _dst, width in band_pieces(b):
+        for src_b, src_c, _dst, width in band_pieces(b, True):
             # src_c/width are static (only the band index is traced)
             plane = ref[src_b] if c is None else ref[src_b, c]
             parts.append(plane[:, src_c : src_c + width])
@@ -232,9 +301,19 @@ def _kernel(
         )
         return v
 
-    # narrow compute window: margin k columns per side (see module docstring)
-    x0 = mx - k_steps
-    wxn = bw + 2 * k_steps
+    # narrow compute window: margin k columns per side (see module
+    # docstring). The slice sits at lane offset mx - k (not 128-aligned), so
+    # it costs one all-lane relayout per channel per chunk; narrow_cols=False
+    # computes the full loaded width instead (more VPU work, no relayout) —
+    # which wins is measured per-shape (scripts/sweep_bands.py).
+    if narrow_cols:
+        x0 = mx - k_steps
+        wxn = bw + 2 * k_steps
+        ox = k_steps
+    else:
+        x0 = 0
+        wxn = wx
+        ox = mx
     w = [
         assemble(fbuf[slot, c], lo_ref, hi_ref, c)[:, x0 : x0 + wxn]
         for c in range(NSPEEDS)
@@ -251,7 +330,7 @@ def _kernel(
 
     w, parts = fused_window_steps(
         w, blocked, accel_sel, k_steps, omega, w1, w2,
-        owned=(slice(my, my + by), slice(k_steps, k_steps + bw)),
+        owned=(slice(my, my + by), slice(ox, ox + bw)),
     )
     for s, part in enumerate(parts):
         @pl.when(lin == 0)
@@ -263,7 +342,7 @@ def _kernel(
             acc[s, 0] += part
 
     for c in range(NSPEEDS):
-        out_ref[0, c] = w[c][my : my + by, k_steps : k_steps + bw]
+        out_ref[0, c] = w[c][my : my + by, ox : ox + bw]
 
     @pl.when(lin == nb * nrow - 1)
     def _():
@@ -281,6 +360,7 @@ def make_kstep_bands(
     accel_w2: float,
     interpret: Optional[bool] = None,
     tile: Optional[Tuple[int, int]] = None,
+    narrow_cols: bool = False,
 ):
     """Returns ``(prepare, chunk)`` over BAND-MAJOR arrays:
 
@@ -290,7 +370,7 @@ def make_kstep_bands(
     ``to_bands``/``from_bands`` at the runner boundary.
     """
     if tile is None:
-        tile = pick_bands(h, nx)
+        tile = pick_bands(h, nx, narrow_cols)
     if tile is None or not supported(h, nx, k_steps):
         raise ValueError(
             f"kstep_bands unsupported for local shape ({h}, {nx}), K={k_steps}"
@@ -305,12 +385,12 @@ def make_kstep_bands(
     kernel = functools.partial(
         _kernel, by=by, bw=bw, nb=nb, h=h, k_steps=k_steps,
         ny_global=ny_global, omega=float(omega), w1=float(accel_w1),
-        w2=float(accel_w2),
+        w2=float(accel_w2), narrow_cols=narrow_cols,
     )
 
     call = pl.pallas_call(
         kernel,
-        grid=(nb, h // by),
+        grid=(h // by, nb),
         in_specs=[
             pl.BlockSpec(memory_space=pl.ANY),
             pl.BlockSpec(memory_space=pltpu.VMEM),
@@ -321,7 +401,7 @@ def make_kstep_bands(
             pl.BlockSpec(memory_space=pltpu.SMEM),
         ],
         out_specs=[
-            pl.BlockSpec((1, NSPEEDS, by, bw), lambda b, i: (b, 0, i, 0),
+            pl.BlockSpec((1, NSPEEDS, by, bw), lambda i, b: (b, 0, i, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec(memory_space=pltpu.SMEM),
         ],
@@ -334,6 +414,7 @@ def make_kstep_bands(
             pltpu.VMEM((2, by + 2 * _MY, bw + 2 * _MX), jnp.float32),
             pltpu.SemaphoreType.DMA((2,)),
             pltpu.SemaphoreType.DMA((2,)),
+            pltpu.SemaphoreType.DMA((2,)),  # sem_l (local left-margin copy)
             pltpu.SMEM((k_steps, 1), jnp.float32),
         ],
         compiler_params=pltpu.CompilerParams(
