@@ -60,3 +60,25 @@ def _canonical_feq(monkeypatch):
     from tpulbm.ops import window_step
 
     monkeypatch.setattr(window_step, "PAIR_SYMMETRIC_DEFAULT", False)
+
+
+def test_kstep2d_no_local_reuse_matches_oracle(multi_tile_case):
+    """local_reuse=False (all margins from HBM) is the A/B baseline and must
+    be bitwise the same physics."""
+    import functools
+
+    from tpulbm.dist.runner import _make_kstep_runner
+    from tpulbm.dist.mesh import get_mesh
+    from tpulbm.core.state import initial_state
+    from tpulbm.ops.step_jnp import run_steps
+
+    params, mask = multi_tile_case
+    obst = jnp.asarray(mask)
+    n = 10
+    f_ref, _ = run_steps(initial_state(params), obst, params, n)
+    runner = _make_kstep_runner(
+        params, n, get_mesh(n_devices=1), k=8,
+        maker=functools.partial(pk2.make_kstep2d, local_reuse=False),
+    )
+    f, _ = runner(initial_state(params), obst)
+    assert np.array_equal(np.asarray(f), np.asarray(f_ref))

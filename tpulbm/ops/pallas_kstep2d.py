@@ -85,6 +85,7 @@ def _kernel(
     fbuf,         # (2, 9, WY, WX) VMEM
     obuf,         # (2, WY, WX) VMEM
     sem_f, sem_o,  # DMA semaphores (2,)
+    sem_l,        # local (VMEM-to-VMEM) left-margin copy semaphore (2,)
     acc,          # (K, 1) SMEM
     *,
     by: int,
@@ -96,6 +97,7 @@ def _kernel(
     omega: float,
     w1: float,
     w2: float,
+    local_reuse: bool = True,
 ):
     my, mx = _MY, _MX
     wy = by + 2 * my
@@ -109,14 +111,16 @@ def _kernel(
     nslot = jax.lax.rem(lin + 1, 2)
     n_static = h // by
 
-    def col_pieces(b_col):
+    def col_pieces(b_col, with_left=True):
         # (src_col, dst_col, width); modular offsets handle the x wrap and
-        # are always 128-aligned and in range.
+        # are always 128-aligned and in range. The left margin is loaded
+        # from HBM only at the column wrap (j == 0): elsewhere it is the
+        # tail of the previous program's main piece, reused from VMEM.
         left = jax.lax.rem(b_col * bx - mx + nx, nx)
         main = b_col * bx
         right = jax.lax.rem((b_col + 1) * bx, nx)
-        return [
-            (pl.multiple_of(left, mx), 0, mx),
+        pieces = [] if not with_left else [(pl.multiple_of(left, mx), 0, mx)]
+        return pieces + [
             (pl.multiple_of(main, mx), mx, bx),
             (pl.multiple_of(right, mx), mx + bx, mx),
         ]
@@ -137,8 +141,8 @@ def _kernel(
             cases.append(((b_row != 0) & last, b_row * by - my, by + my, 0))
         return cases
 
-    def start_dmas(b_row, b_col, s):
-        pieces = col_pieces(b_col)
+    def start_dmas(b_row, b_col, s, with_left):
+        pieces = col_pieces(b_col, with_left)
         for pred, src_row, row_sz, dst_row in row_cases(b_row):
             @pl.when(pred)
             def _():
@@ -157,8 +161,8 @@ def _kernel(
                         sem_o.at[s],
                     ).start()
 
-    def wait_dmas(b_row, b_col, s):
-        pieces = col_pieces(b_col)
+    def wait_dmas(b_row, b_col, s, with_left):
+        pieces = col_pieces(b_col, with_left)
         for pred, src_row, row_sz, dst_row in row_cases(b_row):
             @pl.when(pred)
             def _():
@@ -177,16 +181,75 @@ def _kernel(
                         sem_o.at[s],
                     ).wait()
 
-    @pl.when(lin == 0)
-    def _():
-        start_dmas(jnp.int32(0), jnp.int32(0), 0)
+    def local_left(src_s, dst_s, do_start):
+        # Left margin of the NEXT window (same row block, next column tile)
+        # = the tail of THIS window's main piece: a contiguous VMEM-to-VMEM
+        # copy replaces the strided HBM margin fetch. Full wy rows — rows
+        # outside the loaded region copy garbage, absorbed by the margin
+        # analysis exactly as for the HBM path.
+        fc = pltpu.make_async_copy(
+            fbuf.at[src_s, :, :, pl.ds(bx, mx)],
+            fbuf.at[dst_s, :, :, pl.ds(0, mx)],
+            sem_l.at[dst_s],
+        )
+        oc = pltpu.make_async_copy(
+            obuf.at[src_s, :, pl.ds(bx, mx)],
+            obuf.at[dst_s, :, pl.ds(0, mx)],
+            sem_l.at[dst_s],
+        )
+        if do_start:
+            fc.start()
+            oc.start()
+        else:
+            fc.wait()
+            oc.wait()
 
-    @pl.when(lin + 1 < nrow * ncol)
-    def _():
-        nxt = lin + 1
-        start_dmas(nxt // ncol, jax.lax.rem(nxt, ncol), nslot)
+    nxt = lin + 1
+    nxt_j = jax.lax.rem(nxt, ncol)
+    have_next = nxt < nrow * ncol
 
-    wait_dmas(i, j, slot)
+    if local_reuse:
+        # Wait for the inbound local left-margin copy FIRST: it reads the
+        # other slot's main-piece tail, which the prefetch below is about to
+        # overwrite.
+        @pl.when(j != 0)
+        def _():
+            local_left(nslot, slot, False)
+
+        @pl.when(lin == 0)
+        def _():
+            start_dmas(jnp.int32(0), jnp.int32(0), 0, with_left=True)
+
+        @pl.when(have_next & (nxt_j == 0))
+        def _():
+            start_dmas(nxt // ncol, nxt_j, nslot, with_left=True)
+
+        @pl.when(have_next & (nxt_j != 0))
+        def _():
+            start_dmas(nxt // ncol, nxt_j, nslot, with_left=False)
+
+        @pl.when(j == 0)
+        def _():
+            wait_dmas(i, j, slot, with_left=True)
+
+        @pl.when(j != 0)
+        def _():
+            wait_dmas(i, j, slot, with_left=False)
+
+        # This window is now complete — hand its main-piece tail to the next.
+        @pl.when(have_next & (nxt_j != 0))
+        def _():
+            local_left(slot, nslot, True)
+    else:
+        @pl.when(lin == 0)
+        def _():
+            start_dmas(jnp.int32(0), jnp.int32(0), 0, with_left=True)
+
+        @pl.when(have_next)
+        def _():
+            start_dmas(nxt // ncol, nxt_j, nslot, with_left=True)
+
+        wait_dmas(i, j, slot, with_left=True)
 
     # -- window assembly ----------------------------------------------------
     zero = np.float32(0.0)
@@ -264,8 +327,10 @@ def make_kstep2d(
     accel_w2: float,
     interpret: Optional[bool] = None,
     tile: Optional[Tuple[int, int]] = None,
+    local_reuse: bool = True,
 ):
-    """Same contract as pallas_kstep.make_kstep: returns (prepare, chunk)."""
+    """Same contract as pallas_kstep.make_kstep: returns (prepare, chunk).
+    ``local_reuse=False`` loads every margin from HBM (A/B baseline)."""
     if tile is None:
         tile = pick_tile(h, nx)
     if tile is None or not supported(h, nx, k_steps):
@@ -281,7 +346,7 @@ def make_kstep2d(
     kernel = functools.partial(
         _kernel, by=by, bx=bx, nx=nx, h=h, k_steps=k_steps,
         ny_global=ny_global, omega=float(omega), w1=float(accel_w1),
-        w2=float(accel_w2),
+        w2=float(accel_w2), local_reuse=local_reuse,
     )
 
     call = pl.pallas_call(
@@ -310,6 +375,7 @@ def make_kstep2d(
             pltpu.VMEM((2, by + 2 * _MY, bx + 2 * _MX), jnp.float32),
             pltpu.SemaphoreType.DMA((2,)),
             pltpu.SemaphoreType.DMA((2,)),
+            pltpu.SemaphoreType.DMA((2,)),  # sem_l (local left-margin copy)
             pltpu.SMEM((k_steps, 1), jnp.float32),
         ],
         compiler_params=pltpu.CompilerParams(
