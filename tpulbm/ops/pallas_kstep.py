@@ -91,6 +91,7 @@ def _kernel(
     fbuf,         # (2, 9, BY+16, nx) VMEM
     obuf,         # (2, BY+16, nx) VMEM
     sem_f, sem_o,  # DMA semaphores, (2,) each
+    sem_r,        # row-overlap local copy semaphore, (2,)
     acc,          # (K, 1) SMEM accumulator
     *,
     by: int,
@@ -106,6 +107,7 @@ def _kernel(
     ow: int = 0,
     canon_ny: int = 0,
     xrefs=None,
+    row_reuse: bool = False,
 ):
     # xrefs = (xlo_ref, xhi_ref, oxlo_ref, oxhi_ref) in x_halo (torus) mode:
     # (9, H, _MX) / (H, _MX) HBM refs holding K valid halo columns from the
@@ -131,15 +133,23 @@ def _kernel(
     # as both run under the same predicates.
     n_static = h // by
 
-    def case_copies(b, s):
+    def case_copies(b, s, reduced=False):
         # (predicate, src_lo, src_sz, dst_lo); only the cases that can occur
         # for the static block count are constructed (sizes are static and
         # must stay within the (9, H, nx) source even for inactive cases).
+        # ``reduced=True`` (row_reuse): the window's top 2m rows arrive via
+        # the local overlap copy from the previous block's window, so only
+        # rows below them are fetched from HBM.
         first = b == 0
         last = b == n - 1
         cases = []
         if n_static == 1:
             cases.append((first & last, 0, by, m))
+        elif reduced:
+            if n_static > 2:
+                cases.append(((b != 0) & (b != n - 1), b * by + m, by, 2 * m))
+            if by > m:
+                cases.append(((b != 0) & last, b * by + m, by - m, 2 * m))
         else:
             cases.append((first, 0, by + m, m))
             if n_static > 2:
@@ -177,25 +187,76 @@ def _kernel(
             ))
         return copies
 
-    def start_dmas(b, s):
-        for pred, src_lo, src_sz, dst_lo in case_copies(b, s):
+    def start_dmas(b, s, reduced=False):
+        for pred, src_lo, src_sz, dst_lo in case_copies(b, s, reduced):
             @pl.when(pred)
             def _():
                 for c in make_copies(src_lo, src_sz, dst_lo, s):
                     c.start()
 
-    def wait_dmas(b, s):
-        for pred, src_lo, src_sz, dst_lo in case_copies(b, s):
+    def wait_dmas(b, s, reduced=False):
+        for pred, src_lo, src_sz, dst_lo in case_copies(b, s, reduced):
             @pl.when(pred)
             def _():
                 for c in make_copies(src_lo, src_sz, dst_lo, s):
                     c.wait()
+
+    def local_rows(src_s, dst_s, do_start):
+        # Row-overlap reuse: the next block's top 2m window rows (its row
+        # margin + first m owned rows) are the tail rows of THIS window —
+        # global rows [(i+1)*by - m, (i+1)*by + m) — for every block
+        # geometry, including the x-halo margin columns. A contiguous
+        # VMEM-to-VMEM copy replaces that part of the HBM fetch.
+        copies = [
+            pltpu.make_async_copy(
+                fbuf.at[src_s, :, pl.ds(by, 2 * m), :],
+                fbuf.at[dst_s, :, pl.ds(0, 2 * m), :],
+                sem_r.at[dst_s],
+            ),
+            pltpu.make_async_copy(
+                obuf.at[src_s, pl.ds(by, 2 * m), :],
+                obuf.at[dst_s, pl.ds(0, 2 * m), :],
+                sem_r.at[dst_s],
+            ),
+        ]
+        for c in copies:
+            if do_start:
+                c.start()
+            else:
+                c.wait()
 
     if slots == 1:
         # no prefetch: fetch-then-compute (trades DMA overlap for the VMEM
         # that buys a larger BY and less window recompute)
         start_dmas(i, 0)
         wait_dmas(i, 0)
+    elif row_reuse and n_static >= 2:
+        # Wait for the inbound overlap copy FIRST: it reads the other slot's
+        # tail rows, which the prefetch below is about to overwrite.
+        @pl.when(i != 0)
+        def _():
+            local_rows(nslot, slot, False)
+
+        @pl.when(i == 0)
+        def _():
+            start_dmas(jnp.int32(0), 0)
+
+        @pl.when(i + 1 < n)
+        def _():
+            start_dmas(i + 1, nslot, reduced=True)
+
+        @pl.when(i == 0)
+        def _():
+            wait_dmas(i, slot)
+
+        @pl.when(i != 0)
+        def _():
+            wait_dmas(i, slot, reduced=True)
+
+        # This window is complete — hand its tail rows to the next block.
+        @pl.when(i + 1 < n)
+        def _():
+            local_rows(slot, nslot, True)
     else:
         @pl.when(i == 0)
         def _():
@@ -309,6 +370,7 @@ def make_kstep(
     owned_cols: Optional[tuple] = None,
     canon_ny: int = 0,
     x_halo: bool = False,
+    row_reuse: Optional[bool] = None,
 ):
     """Returns ``(prepare, chunk)``:
 
@@ -351,6 +413,8 @@ def make_kstep(
     if interpret is None:
         interpret = jax.devices()[0].platform == "cpu"
     n_blocks = h // by
+    if row_reuse is None:
+        row_reuse = slots == 2   # on wherever the 2-slot pipeline runs
     ox, ow = owned_cols if owned_cols is not None else (0, nx)
     if ox % 128 or ow % 128 or ox + ow > nx:
         raise ValueError(f"owned_cols {owned_cols} must be 128-aligned and in range")
@@ -358,7 +422,7 @@ def make_kstep(
     kernel = functools.partial(
         _kernel, by=by, nx=nx, h=h, k_steps=k_steps, ny_global=ny_global,
         omega=float(omega), w1=float(accel_w1), w2=float(accel_w2),
-        slots=slots, ox=ox, ow=ow, canon_ny=canon_ny,
+        slots=slots, ox=ox, ow=ow, canon_ny=canon_ny, row_reuse=row_reuse,
     )
 
     in_specs = [
@@ -420,6 +484,7 @@ def make_kstep(
             pltpu.VMEM((slots, by + 2 * _MARGIN, wx), jnp.float32),
             pltpu.SemaphoreType.DMA((slots,)),
             pltpu.SemaphoreType.DMA((slots,)),
+            pltpu.SemaphoreType.DMA((slots,)),  # sem_r (row-overlap reuse)
             pltpu.SMEM((k_steps, 1), jnp.float32),
         ],
         compiler_params=pltpu.CompilerParams(
