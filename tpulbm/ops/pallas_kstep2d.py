@@ -31,8 +31,11 @@ from tpulbm.ops.window_step import fused_window_steps
 _MY = 8     # row margin
 _MX = 128   # column margin
 MAX_K = _MY
-# Window footprint target (f32 elements) for one (WY, WX) plane.
-_WINDOW_BUDGET = 40 * 1024
+# Window footprint target (f32 elements) for one (WY, WX) plane. 64K admits
+# the (32, 1024)/(64, 512) tiles (61K loaded): the device-time sweep at
+# 4096^2 measured (32, 1024) fastest — 1244 us/step = 13,485 MLUPS vs 1434
+# for the old 40K-budget pick (32, 512) (docs/measurements/round2.md).
+_WINDOW_BUDGET = 64 * 1024
 
 
 def pick_tile(
