@@ -62,29 +62,15 @@ def test_large_grid_routes_to_kstep(monkeypatch):
     assert calls == {"kstep": 1}
 
 
-def test_wide_grid_routes_to_bands_then_kstep2d(monkeypatch):
-    """Wide grids prefer the band-major tier; the row-major 2-D tiling is
-    the fallback when bands can't take the shape."""
+def test_wide_grid_routes_to_kstep2d_then_bands(monkeypatch):
+    """Wide grids prefer the row-major 2-D tiling (fastest in every
+    hardware window measured — docs/measurements/round2.md); the band-major
+    tier is the fallback when kstep2d can't take the shape."""
     import tpulbm.ops.pallas_kstep_bands as pallas_kstep_bands
 
     calls = _spy(monkeypatch)
     monkeypatch.setattr(pallas_resident, "supported", lambda ny, nx: False)
     monkeypatch.setattr(pallas_kstep, "supported", lambda h, nx, k: False)
-    bands_built = []
-    orig_bands = runner_mod._make_kstep_bands_runner
-
-    def capture_bands(*a, **k):
-        bands_built.append(True)
-        return orig_bands(*a, **k)
-
-    monkeypatch.setattr(runner_mod, "_make_kstep_bands_runner", capture_bands)
-    runner_mod.make_runner(_params(nx=256, ny=256), 8, get_mesh(n_devices=1),
-                           backend="pallas")
-    assert bands_built == [True]
-
-    # bands unsupported -> kstep2d fallback
-    monkeypatch.setattr(pallas_kstep_bands, "supported",
-                        lambda h, nx, k: False)
     makers = []
     orig = runner_mod._make_kstep_runner
 
@@ -96,6 +82,20 @@ def test_wide_grid_routes_to_bands_then_kstep2d(monkeypatch):
     runner_mod.make_runner(_params(nx=256, ny=256), 8, get_mesh(n_devices=1),
                            backend="pallas")
     assert makers == [pallas_kstep2d.make_kstep2d]
+
+    # kstep2d unsupported -> band-major fallback
+    monkeypatch.setattr(pallas_kstep2d, "supported", lambda h, nx, k: False)
+    bands_built = []
+    orig_bands = runner_mod._make_kstep_bands_runner
+
+    def capture_bands(*a, **k):
+        bands_built.append(True)
+        return orig_bands(*a, **k)
+
+    monkeypatch.setattr(runner_mod, "_make_kstep_bands_runner", capture_bands)
+    runner_mod.make_runner(_params(nx=256, ny=256), 8, get_mesh(n_devices=1),
+                           backend="pallas")
+    assert bands_built == [True]
 
 
 def test_unsupported_shape_falls_back_or_raises():
