@@ -148,6 +148,9 @@ def main():
         if trace_dir:
             try:
                 dev_s = device_loop_seconds(trace_dir)
+            except Exception as e:  # trace parsing must never sink the bench
+                log(f"device-time extraction failed: {e!r}")
+                dev_s = None
             finally:
                 shutil.rmtree(trace_dir, ignore_errors=True)
         log(f"rep {rep}: {dt:.3f} s  av[-1]={tail:.6E}"
