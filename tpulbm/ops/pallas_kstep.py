@@ -93,7 +93,10 @@ def _kernel(
     sem_f, sem_o,  # DMA semaphores, (2,) each
     sem_r,        # row-overlap local copy semaphore, (2,)
     acc,          # (K, 1) SMEM accumulator
-    *,
+    # (K, 9, m, wx) VMEM slab buffer, present only in slab_bottom mode: the
+    # per-state owned-top rows of the previous block, consumed as this
+    # block's exact bottom margin (see fused_window_steps docstring).
+    *extra_scratch,
     by: int,
     nx: int,
     h: int,
@@ -108,6 +111,7 @@ def _kernel(
     canon_ny: int = 0,
     xrefs=None,
     row_reuse: bool = False,
+    slab_bottom: bool = False,
 ):
     # xrefs = (xlo_ref, xhi_ref, oxlo_ref, oxhi_ref) in x_halo (torus) mode:
     # (9, H, _MX) / (H, _MX) HBM refs holding K valid halo columns from the
@@ -332,22 +336,62 @@ def _kernel(
         av_mask = (win_start + row_ids_n) < canon_ny
 
     # -- K fused steps, constant window shape (see ops.window_step) ---------
-    w, parts = fused_window_steps(
-        w, blocked, accel_sel, k_steps, omega, w1, w2,
-        owned=(slice(k_steps, k_steps + by), slice(ox, ox + ow)),
-        av_mask=av_mask,
-    )
-    for s, part in enumerate(parts):
+    owned_slc = (slice(k_steps, k_steps + by), slice(ox, ox + ow))
+
+    if not slab_bottom:
+        w, parts = fused_window_steps(
+            w, blocked, accel_sel, k_steps, omega, w1, w2,
+            owned=owned_slc, av_mask=av_mask,
+        )
+        for s, part in enumerate(parts):
+            @pl.when(i == 0)
+            def _(s=s, part=part):
+                acc[s, 0] = part
+
+            @pl.when(i > 0)
+            def _(s=s, part=part):
+                acc[s, 0] += part
+
+        for c in range(NSPEEDS):
+            out_ref[c] = w[c][k_steps : k_steps + by, ox : ox + ow]
+    else:
+        # Exact bottom substitution (k == m): blocks run bottom-to-top, so
+        # the previous block's owned-top rows at every intermediate state
+        # are this block's exact bottom margin — read per state from the
+        # slab scratch and overwritten with our own (read-before-write on
+        # the same slot). Block 0's bottom is the ring halo: it keeps the
+        # classic recompute body.
+        slab = extra_scratch[0]
+
+        def sub_read(s):
+            return [slab[s, c] for c in range(NSPEEDS)]
+
+        def collect(s, rows):
+            for c in range(NSPEEDS):
+                slab[s, c] = rows[c]
+
+        def run_and_store(sub, first):
+            wf, parts = fused_window_steps(
+                w, blocked, accel_sel, k_steps, omega, w1, w2,
+                owned=owned_slc, av_mask=av_mask,
+                sub_read=sub, sub_rows=m,
+                collect=collect, collect_rows=(by, m),
+            )
+            for s, part in enumerate(parts):
+                if first:
+                    acc[s, 0] = part
+                else:
+                    acc[s, 0] += part
+            for c in range(NSPEEDS):
+                out_ref[c] = wf[c][k_steps : k_steps + by, ox : ox + ow]
+
         @pl.when(i == 0)
-        def _(s=s, part=part):
-            acc[s, 0] = part
+        def _():
+            run_and_store(None, True)
 
         @pl.when(i > 0)
-        def _(s=s, part=part):
-            acc[s, 0] += part
-
-    for c in range(NSPEEDS):
-        out_ref[c] = w[c][k_steps : k_steps + by, ox : ox + ow]
+        def _():
+            run_and_store(sub_read, False)
 
     @pl.when(i == n - 1)
     def _():
@@ -371,6 +415,7 @@ def make_kstep(
     canon_ny: int = 0,
     x_halo: bool = False,
     row_reuse: Optional[bool] = None,
+    exact_bottom: Optional[bool] = None,
 ):
     """Returns ``(prepare, chunk)``:
 
@@ -415,6 +460,12 @@ def make_kstep(
     n_blocks = h // by
     if row_reuse is None:
         row_reuse = slots == 2   # on wherever the 2-slot pipeline runs
+    if exact_bottom is None:
+        # Needs K slab states deep enough to cover the margin (k == m) and
+        # at least two blocks to have a previous block to read from.
+        exact_bottom = k_steps == _MARGIN and h // by >= 2
+    else:
+        exact_bottom = exact_bottom and k_steps == _MARGIN and h // by >= 2
     ox, ow = owned_cols if owned_cols is not None else (0, nx)
     if ox % 128 or ow % 128 or ox + ow > nx:
         raise ValueError(f"owned_cols {owned_cols} must be 128-aligned and in range")
@@ -423,6 +474,7 @@ def make_kstep(
         _kernel, by=by, nx=nx, h=h, k_steps=k_steps, ny_global=ny_global,
         omega=float(omega), w1=float(accel_w1), w2=float(accel_w2),
         slots=slots, ox=ox, ow=ow, canon_ny=canon_ny, row_reuse=row_reuse,
+        slab_bottom=exact_bottom,
     )
 
     in_specs = [
@@ -486,7 +538,8 @@ def make_kstep(
             pltpu.SemaphoreType.DMA((slots,)),
             pltpu.SemaphoreType.DMA((slots,)),  # sem_r (row-overlap reuse)
             pltpu.SMEM((k_steps, 1), jnp.float32),
-        ],
+        ] + ([pltpu.VMEM((k_steps, NSPEEDS, _MARGIN, wx), jnp.float32)]
+             if exact_bottom else []),
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("arbitrary",),
         ),

@@ -38,6 +38,10 @@ def fused_window_steps(
     owned: Tuple[slice, slice],
     pair_symmetric: Optional[bool] = None,
     av_mask: Optional[jnp.ndarray] = None,
+    sub_read=None,
+    sub_rows: int = 0,
+    collect=None,
+    collect_rows: Optional[Tuple[int, int]] = None,
 ):
     """Runs ``k_steps`` fused lattice steps on window values ``w`` (nine
     (H, W) planes). ``accel_sel`` selects the accelerated row's cells
@@ -47,8 +51,22 @@ def fused_window_steps(
     uses it to exclude periodic-extension mirror rows from the series while
     still evolving them.
 
+    Exact bottom substitution (``sub_read``/``sub_rows``): before each step
+    ``s``, window rows [0, sub_rows) are OVERWRITTEN with
+    ``sub_read(s)`` — the exact state-``s`` values of those global rows,
+    saved by the previous (lower) block of the same kernel call. The
+    collide then runs only on rows [sub_rows, H): the bottom margin is no
+    longer recomputed, cutting the window recompute from (BY+2m)/BY to
+    (BY+m)/BY. The post-roll slice at ``sub_rows`` is sublane-aligned, so
+    no relayout is paid. ``collect(s, rows)`` mirrors the other side: at
+    each state ``s`` the ``collect_rows`` slab (this block's owned top
+    rows) is handed out for the NEXT block's substitution. ``sub_read`` is
+    called before ``collect`` so a shared slot buffer reads the previous
+    block's slab before overwriting it.
+
     Returns (w_final, parts) with ``parts`` a list of ``k_steps`` float32
-    scalars.
+    scalars; with substitution active, w_final rows [0, sub_rows) are
+    zeros (callers never read margin rows back).
     """
     if pair_symmetric is None:
         pair_symmetric = PAIR_SYMMETRIC_DEFAULT
@@ -57,8 +75,21 @@ def fused_window_steps(
     w2f = np.float32(w2)
     wy, wx = w[0].shape
     free = jnp.logical_not(blocked)
+    off = sub_rows if sub_read is not None else 0
+    blocked_c = blocked[off:] if off else blocked
+    av_mask_c = av_mask[off:] if (off and av_mask is not None) else av_mask
     parts = []
-    for _ in range(k_steps):
+    for s in range(k_steps):
+        if sub_read is not None:
+            subs = sub_read(s)
+        if collect is not None:
+            r0, rs = collect_rows
+            collect(s, [w[c][r0 : r0 + rs] for c in range(NSPEEDS)])
+        if sub_read is not None:
+            w = [
+                jnp.concatenate([subs[c], w[c][sub_rows:]], axis=0)
+                for c in range(NSPEEDS)
+            ]
         # inflow acceleration (d2q9-bgk.c:442-478)
         mask = (
             accel_sel
@@ -81,11 +112,21 @@ def fused_window_steps(
                 v = pltpu.roll(v, CY[c] % wy, 0)
             if CX[c] != 0:
                 v = pltpu.roll(v, CX[c] % wx, 1)
+            if off:
+                v = v[off:]  # sublane-aligned: collide skips the margin
             t.append(v)
-        w, speed = physics.collide(t, blocked, omega, pair_symmetric)
-        if av_mask is not None:
-            speed = jnp.where(av_mask, speed, zero)
-        parts.append(
-            jnp.sum(speed[owned[0], owned[1]], dtype=jnp.float32)
+        out, speed = physics.collide(t, blocked_c, omega, pair_symmetric)
+        if av_mask_c is not None:
+            speed = jnp.where(av_mask_c, speed, zero)
+        row_slc = owned[0] if off == 0 else slice(
+            owned[0].start - off, owned[0].stop - off
         )
+        parts.append(
+            jnp.sum(speed[row_slc, owned[1]], dtype=jnp.float32)
+        )
+        if off:
+            pad = jnp.zeros((off, wx), jnp.float32)
+            w = [jnp.concatenate([pad, o], axis=0) for o in out]
+        else:
+            w = out
     return w, parts
