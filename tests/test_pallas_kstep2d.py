@@ -82,3 +82,23 @@ def test_kstep2d_no_local_reuse_matches_oracle(multi_tile_case):
     )
     f, _ = runner(initial_state(params), obst)
     assert np.array_equal(np.asarray(f), np.asarray(f_ref))
+
+
+def test_kstep2d_exact_left_tolerance(multi_tile_case):
+    """exact_left=True (the TPU production mode) under interpret: the
+    cut-width graph contracts FMAs differently on XLA-CPU, so the
+    accelerated row drifts ~1 ULP/step — tolerance-gated here (on TPU the
+    mode measured bitwise-equal; see make_kstep2d docstring)."""
+    import functools
+
+    params, obst = multi_tile_case
+    n = 19
+    f_ref, av_ref = run_steps(initial_state(params), obst, params, n)
+    runner = _make_kstep_runner(
+        params, n, get_mesh(n_devices=2), k=8,
+        maker=functools.partial(pk2.make_kstep2d, exact_left=True),
+    )
+    f, av = runner(initial_state(params), obst)
+    np.testing.assert_allclose(np.asarray(f), np.asarray(f_ref),
+                               rtol=0, atol=1e-6)
+    np.testing.assert_allclose(np.asarray(av), np.asarray(av_ref), rtol=2e-5)

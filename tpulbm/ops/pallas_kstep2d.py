@@ -90,7 +90,10 @@ def _kernel(
     sem_f, sem_o,  # DMA semaphores (2,)
     sem_l,        # local (VMEM-to-VMEM) left-margin copy semaphore (2,)
     acc,          # (K, 1) SMEM
-    *,
+    # (K, 9, WY, mx) VMEM slab buffer, present only in exact_left mode: the
+    # previous program's owned right-edge columns at every intermediate
+    # state, consumed as this window's exact left margin per fused step.
+    *extra_scratch,
     by: int,
     bx: int,
     nx: int,
@@ -101,6 +104,7 @@ def _kernel(
     w1: float,
     w2: float,
     local_reuse: bool = True,
+    exact_left: bool = False,
 ):
     my, mx = _MY, _MX
     wy = by + 2 * my
@@ -298,21 +302,67 @@ def _kernel(
     a_off = jax.lax.rem(a_glob - win_start + 2 * ny_global, ny_global)
     accel_sel = jax.lax.rem(row_ids - a_off + 2 * ny_global, ny_global) == 0
 
-    w, parts = fused_window_steps(
-        w, blocked, accel_sel, k_steps, omega, w1, w2,
-        owned=(slice(my, my + by), slice(mx, mx + bx)),
-    )
-    for s, part in enumerate(parts):
+    owned_slc = (slice(my, my + by), slice(mx, mx + bx))
+
+    if not exact_left:
+        w, parts = fused_window_steps(
+            w, blocked, accel_sel, k_steps, omega, w1, w2, owned=owned_slc,
+        )
+        for s, part in enumerate(parts):
+            @pl.when(lin == 0)
+            def _(s=s, part=part):
+                acc[s, 0] = part
+
+            @pl.when(lin > 0)
+            def _(s=s, part=part):
+                acc[s, 0] += part
+
+        for c in range(NSPEEDS):
+            out_ref[c] = w[c][my : my + by, mx : mx + bx]
+    else:
+        # Exact left-margin substitution: column tiles iterate innermost,
+        # so the previous program's owned right-edge columns at each
+        # intermediate state are this window's exact left margin — read
+        # per state from the slab scratch, overwritten with our own
+        # (read-before-write on the same state slot). The collide skips
+        # the left margin entirely (128-lane-aligned post-roll slice).
+        # The column-wrap window (j == 0) keeps the classic body: its left
+        # neighbour is the row block's LAST tile, not yet computed.
+        slab = extra_scratch[0]
+
+        def sub_read(s):
+            return [slab[s, c] for c in range(NSPEEDS)]
+
+        def collect(s, cols):
+            for c in range(NSPEEDS):
+                slab[s, c] = cols[c]
+
+        def run_and_store(sub, first):
+            wf, parts = fused_window_steps(
+                w, blocked, accel_sel, k_steps, omega, w1, w2,
+                owned=owned_slc,
+                sub_read=sub, sub_rows=mx, sub_axis=1,
+                collect=collect, collect_rows=(bx, mx),
+            )
+            for s, part in enumerate(parts):
+                if first:
+                    acc[s, 0] = part
+                else:
+                    acc[s, 0] += part
+            for c in range(NSPEEDS):
+                out_ref[c] = wf[c][my : my + by, mx : mx + bx]
+
         @pl.when(lin == 0)
-        def _(s=s, part=part):
-            acc[s, 0] = part
+        def _():
+            run_and_store(None, True)
 
-        @pl.when(lin > 0)
-        def _(s=s, part=part):
-            acc[s, 0] += part
+        @pl.when((lin > 0) & (j == 0))
+        def _():
+            run_and_store(None, False)
 
-    for c in range(NSPEEDS):
-        out_ref[c] = w[c][my : my + by, mx : mx + bx]
+        @pl.when(j != 0)
+        def _():
+            run_and_store(sub_read, False)
 
     @pl.when(lin == nrow * ncol - 1)
     def _():
@@ -331,9 +381,12 @@ def make_kstep2d(
     interpret: Optional[bool] = None,
     tile: Optional[Tuple[int, int]] = None,
     local_reuse: bool = True,
+    exact_left: Optional[bool] = None,
 ):
     """Same contract as pallas_kstep.make_kstep: returns (prepare, chunk).
-    ``local_reuse=False`` loads every margin from HBM (A/B baseline)."""
+    ``local_reuse=False`` loads every margin from HBM (A/B baseline);
+    ``exact_left=False`` disables the exact left-margin substitution
+    (classic full-window recompute, the other A/B baseline)."""
     if tile is None:
         tile = pick_tile(h, nx)
     if tile is None or not supported(h, nx, k_steps):
@@ -345,11 +398,20 @@ def make_kstep2d(
         raise ValueError(f"tile {tile} does not divide local shape ({h}, {nx})")
     if interpret is None:
         interpret = jax.devices()[0].platform == "cpu"
+    # exact_left default OFF: unlike the 1-D kernel's row case (+7%), the
+    # column-margin substitution measured 2x SLOWER on hardware at
+    # (32, 1024) (2448 vs 1247 us/step device) and pushes (64, 512) over
+    # Mosaic's VMEM ceiling — the per-state 128-lane slab traffic and the
+    # doubled predicated body cost more than the 10% recompute they save.
+    # Kept as an explicitly-requested experiment (tolerance-tested on CPU,
+    # docs/measurements/round2.md).
+    exact_left = bool(exact_left) and nx // bx >= 2
 
     kernel = functools.partial(
         _kernel, by=by, bx=bx, nx=nx, h=h, k_steps=k_steps,
         ny_global=ny_global, omega=float(omega), w1=float(accel_w1),
         w2=float(accel_w2), local_reuse=local_reuse,
+        exact_left=exact_left,
     )
 
     call = pl.pallas_call(
@@ -380,7 +442,8 @@ def make_kstep2d(
             pltpu.SemaphoreType.DMA((2,)),
             pltpu.SemaphoreType.DMA((2,)),  # sem_l (local left-margin copy)
             pltpu.SMEM((k_steps, 1), jnp.float32),
-        ],
+        ] + ([pltpu.VMEM((k_steps, NSPEEDS, by + 2 * _MY, _MX), jnp.float32)]
+             if exact_left else []),
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("arbitrary", "arbitrary"),
         ),

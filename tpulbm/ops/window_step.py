@@ -42,6 +42,7 @@ def fused_window_steps(
     sub_rows: int = 0,
     collect=None,
     collect_rows: Optional[Tuple[int, int]] = None,
+    sub_axis: int = 0,
 ):
     """Runs ``k_steps`` fused lattice steps on window values ``w`` (nine
     (H, W) planes). ``accel_sel`` selects the accelerated row's cells
@@ -51,22 +52,23 @@ def fused_window_steps(
     uses it to exclude periodic-extension mirror rows from the series while
     still evolving them.
 
-    Exact bottom substitution (``sub_read``/``sub_rows``): before each step
-    ``s``, window rows [0, sub_rows) are OVERWRITTEN with
-    ``sub_read(s)`` — the exact state-``s`` values of those global rows,
-    saved by the previous (lower) block of the same kernel call. The
-    collide then runs only on rows [sub_rows, H): the bottom margin is no
-    longer recomputed, cutting the window recompute from (BY+2m)/BY to
-    (BY+m)/BY. The post-roll slice at ``sub_rows`` is sublane-aligned, so
-    no relayout is paid. ``collect(s, rows)`` mirrors the other side: at
-    each state ``s`` the ``collect_rows`` slab (this block's owned top
-    rows) is handed out for the NEXT block's substitution. ``sub_read`` is
-    called before ``collect`` so a shared slot buffer reads the previous
-    block's slab before overwriting it.
+    Exact leading-margin substitution (``sub_read``/``sub_rows``): before
+    each step ``s``, the window's leading ``sub_rows`` slices along
+    ``sub_axis`` (rows for the 1-D kernel's bottom margin, columns for the
+    2-D kernel's left margin) are OVERWRITTEN with ``sub_read(s)`` — the
+    exact state-``s`` values of those global cells, saved by the previous
+    block of the same kernel call. The collide then skips the leading
+    margin entirely: it is no longer recomputed. The post-roll slice at
+    ``sub_rows`` must be tile-aligned for the axis (8 sublanes / 128
+    lanes) so no relayout is paid. ``collect(s, slabs)`` mirrors the
+    trailing side: at each state ``s`` the ``collect_rows`` (start, size)
+    slab along ``sub_axis`` is handed out for the NEXT block's
+    substitution. ``sub_read`` is called before ``collect`` so a shared
+    slot buffer reads the previous block's slab before overwriting it.
 
     Returns (w_final, parts) with ``parts`` a list of ``k_steps`` float32
-    scalars; with substitution active, w_final rows [0, sub_rows) are
-    zeros (callers never read margin rows back).
+    scalars; with substitution active, w_final's leading margin is zeros
+    (callers never read margin cells back).
     """
     if pair_symmetric is None:
         pair_symmetric = PAIR_SYMMETRIC_DEFAULT
@@ -76,18 +78,30 @@ def fused_window_steps(
     wy, wx = w[0].shape
     free = jnp.logical_not(blocked)
     off = sub_rows if sub_read is not None else 0
-    blocked_c = blocked[off:] if off else blocked
-    av_mask_c = av_mask[off:] if (off and av_mask is not None) else av_mask
+
+    def cut(a):
+        # drop the leading margin along sub_axis
+        return (a[off:] if sub_axis == 0 else a[:, off:]) if off else a
+
+    def lead_slice(a, start, size):
+        return a[start : start + size] if sub_axis == 0 else \
+            a[:, start : start + size]
+
+    blocked_c = cut(blocked)
+    av_mask_c = cut(av_mask) if av_mask is not None else None
     parts = []
     for s in range(k_steps):
         if sub_read is not None:
             subs = sub_read(s)
         if collect is not None:
             r0, rs = collect_rows
-            collect(s, [w[c][r0 : r0 + rs] for c in range(NSPEEDS)])
+            collect(s, [lead_slice(w[c], r0, rs) for c in range(NSPEEDS)])
         if sub_read is not None:
             w = [
-                jnp.concatenate([subs[c], w[c][sub_rows:]], axis=0)
+                jnp.concatenate(
+                    [subs[c], lead_slice(w[c], sub_rows, w[c].shape[sub_axis] - sub_rows)],
+                    axis=sub_axis,
+                )
                 for c in range(NSPEEDS)
             ]
         # inflow acceleration (d2q9-bgk.c:442-478)
@@ -113,20 +127,24 @@ def fused_window_steps(
             if CX[c] != 0:
                 v = pltpu.roll(v, CX[c] % wx, 1)
             if off:
-                v = v[off:]  # sublane-aligned: collide skips the margin
+                v = cut(v)  # tile-aligned: collide skips the margin
             t.append(v)
         out, speed = physics.collide(t, blocked_c, omega, pair_symmetric)
         if av_mask_c is not None:
             speed = jnp.where(av_mask_c, speed, zero)
-        row_slc = owned[0] if off == 0 else slice(
-            owned[0].start - off, owned[0].stop - off
-        )
+        o_r, o_c = owned
+        if off and sub_axis == 0:
+            o_r = slice(o_r.start - off, o_r.stop - off)
+        elif off and sub_axis == 1:
+            o_c = slice(o_c.start - off, o_c.stop - off)
         parts.append(
-            jnp.sum(speed[row_slc, owned[1]], dtype=jnp.float32)
+            jnp.sum(speed[o_r, o_c], dtype=jnp.float32)
         )
         if off:
-            pad = jnp.zeros((off, wx), jnp.float32)
-            w = [jnp.concatenate([pad, o], axis=0) for o in out]
+            pad_shape = (off, out[0].shape[1]) if sub_axis == 0 \
+                else (out[0].shape[0], off)
+            pad = jnp.zeros(pad_shape, jnp.float32)
+            w = [jnp.concatenate([pad, o], axis=sub_axis) for o in out]
         else:
             w = out
     return w, parts
