@@ -813,6 +813,126 @@ def _make_runner_2d_kstep(params: LBMParams, n_steps: int, mesh: Mesh, k: int):
     return runner
 
 
+def _make_kstep_strips_runner(
+    params: LBMParams,
+    n_steps: int,
+    mesh: Mesh,
+    k: int,
+    bx: int = 1024,
+    by: int = 32,
+):
+    """Single-device wide grids as column STRIPS driven by the 1-D x-halo
+    K-step kernel: the state lives band-major ((NS, 9, H, BX), one strip per
+    band), each strip's x margins come from its ring neighbours as
+    lane-aligned 128-wide pads (materialized per K-chunk: 2*K columns per
+    strip — a few %% of a pass, fully DMA-overlapped), and each strip runs
+    the full 1-D kernel vertically. This inherits the 1-D kernel's
+    row-overlap DMA reuse AND exact bottom-margin substitution, which the
+    column-innermost kstep2d grid cannot have (its row blocks change only
+    at the wrap): compute drops from kstep2d's (BY+16)-row windows to
+    (BY+8), measured on device time (docs/measurements/round2.md)."""
+    from tpulbm.ops import pallas_kstep
+    from tpulbm.ops import pallas_kstep_bands as pkb
+
+    assert mesh.devices.size == 1
+    h = params.ny
+    ns = params.nx // bx
+    n_outer, rem = divmod(n_steps, k)
+    mk = functools.partial(
+        pallas_kstep.make_kstep, h, bx, ny_global=params.ny,
+        omega=params.omega, accel_w1=params.accel_w1,
+        accel_w2=params.accel_w2, x_halo=True, by=by, x_narrow=False,
+    )
+    prepare, chunk_k = mk(k_steps=k)
+    chunk_r = mk(k_steps=rem)[1] if rem else None
+    free_inv = jnp.float32(params.free_cells_inv)
+    scal = jnp.stack([jnp.int32(params.accel_row),
+                      jnp.int32(0)]).reshape(1, 2)
+
+    def margins(gb, kk):
+        """Padded (NS, ..., 128) x margins from the strip ring; only kk
+        columns are valid halo data (the kernel's contract)."""
+        lo_cols = jax.lax.slice_in_dim(gb, bx - kk, bx, axis=-1)
+        hi_cols = jax.lax.slice_in_dim(gb, 0, kk, axis=-1)
+        xlo = jnp.concatenate([lo_cols[-1:], lo_cols[:-1]], axis=0)
+        xhi = jnp.concatenate([hi_cols[1:], hi_cols[:1]], axis=0)
+        pad = [(0, 0)] * (gb.ndim - 1)
+        return (
+            jnp.pad(xlo, pad + [(_XPAD - kk, 0)]),
+            jnp.pad(xhi, pad + [(0, _XPAD - kk)]),
+        )
+
+    def bands_of(gb, xlo_p, xhi_p, lo, hi):
+        # corner-carrying row slabs of the x-extended strips (self-wrap y)
+        return jnp.concatenate(
+            [
+                jax.lax.slice_in_dim(xlo_p, lo, hi, axis=-2),
+                jax.lax.slice_in_dim(gb, lo, hi, axis=-2),
+                jax.lax.slice_in_dim(xhi_p, lo, hi, axis=-2),
+            ],
+            axis=-1,
+        )
+
+    def step_strips(gb, aux, chunk, kk):
+        xlo_p, xhi_p = margins(gb, kk)
+        ylo = bands_of(gb, xlo_p, xhi_p, h - kk, h)
+        yhi = bands_of(gb, xlo_p, xhi_p, 0, kk)
+        outs, avs = [], 0.0
+        for b in range(ns):
+            g2, av_b = chunk(gb[b], ylo[b], yhi[b], aux[b], scal,
+                             xlo_p[b], xhi_p[b])
+            outs.append(g2)
+            avs = avs + av_b
+        return jnp.stack(outs, axis=0), avs
+
+    @functools.partial(jax.jit, donate_argnums=0)
+    def runner(f, obstacles):
+        gb = pkb.to_bands(f, bx)
+        ob = obstacles.astype(jnp.float32).reshape(h, ns, bx).transpose(1, 0, 2)
+        oxlo, oxhi = margins(ob, k)
+        oylo = bands_of(ob, oxlo, oxhi, h - k, h)
+        oyhi = bands_of(ob, oxlo, oxhi, 0, k)
+        aux = [
+            prepare(ob[b], oylo[b], oyhi[b], oxlo[b], oxhi[b])
+            for b in range(ns)
+        ]
+
+        def body(g, _):
+            g2, av = step_strips(g, aux, chunk_k, k)
+            return g2, av * free_inv
+
+        gb_out, avs = jax.lax.scan(body, gb, None, length=n_outer)
+        av = avs.reshape(-1)
+        if chunk_r is not None:
+            oxlo_r, oxhi_r = margins(ob, rem)
+            oylo_r = bands_of(ob, oxlo_r, oxhi_r, h - rem, h)
+            oyhi_r = bands_of(ob, oxlo_r, oxhi_r, 0, rem)
+            aux_r = [
+                prepare(ob[b], oylo_r[b], oyhi_r[b], oxlo_r[b], oxhi_r[b])
+                for b in range(ns)
+            ]
+            gb_out, av_r = step_strips(gb_out, aux_r, chunk_r, rem)
+            av = jnp.concatenate([av, av_r * free_inv])
+        return pkb.from_bands(gb_out), av
+
+    return runner
+
+
+def supported_strips(params: LBMParams, n_dev: int, k: int,
+                     bx: int = 1024, by: int = 32) -> bool:
+    from tpulbm.ops import pallas_kstep
+
+    return (
+        n_dev == 1
+        and params.nx % bx == 0
+        and params.nx > bx            # >= 2 strips for the ring
+        and params.ny % by == 0
+        and params.ny >= by
+        and 1 <= k <= pallas_kstep.MAX_K
+        and bx % 128 == 0
+    )
+
+
 def supported_padded_kstep(params: LBMParams, n_dev: int, k: int) -> bool:
     """Whether the periodic-extension padded K-step runner takes this shape:
     the wrap slab sources must be in-shard (pad + K <= rows on shard 0, >= K

@@ -112,6 +112,9 @@ def _kernel(
     xrefs=None,
     row_reuse: bool = False,
     slab_bottom: bool = False,
+    slab_all: bool = False,
+    av_skip_rows: int = 0,
+    x_narrow: bool = True,
 ):
     # xrefs = (xlo_ref, xhi_ref, oxlo_ref, oxhi_ref) in x_halo (torus) mode:
     # (9, H, _MX) / (H, _MX) HBM refs holding K valid halo columns from the
@@ -293,11 +296,20 @@ def _kernel(
                       & (row_ids < by + m + k_steps), hi_full, v)
         return v
 
-    if xrefs is not None:
-        # narrow compute window: only K halo columns per side are genuine
+    if xrefs is not None and x_narrow:
+        # narrow compute window: only K halo columns per side are genuine.
+        # The slice sits at lane offset mx - K (not 128-aligned): one
+        # all-lane relayout per chunk — cheaper than the saved recompute on
+        # small torus shards, but x_narrow=False (full-width compute) is
+        # the right trade for the strips runner's tall windows (the
+        # relayout's second window copy also pushes Mosaic VMEM).
         x0 = mx - k_steps
         wxn = nx + 2 * k_steps
         ox, ow = k_steps, nx
+    elif xrefs is not None:
+        x0 = 0
+        wxn = wx
+        ox, ow = mx, nx
     else:
         x0 = 0
         wxn = wx
@@ -330,10 +342,16 @@ def _kernel(
 
     # Periodic-extension padding (padded runner): mirror rows (padded global
     # index >= real ny) evolve like their originals but are excluded from
-    # the |u| series so canonical cells count exactly once.
+    # the |u| series so canonical cells count exactly once. av_skip_rows
+    # (slab_all mode): global rows [0, av_skip_rows) are excluded — they
+    # come out contaminated from block 0's garbage substitution and are
+    # recomputed (values AND sums) by the caller's fix pass.
     av_mask = None
     if canon_ny:
         av_mask = (win_start + row_ids_n) < canon_ny
+    if av_skip_rows:
+        skip = (win_start + row_ids_n) >= av_skip_rows
+        av_mask = skip if av_mask is None else (av_mask & skip)
 
     # -- K fused steps, constant window shape (see ops.window_step) ---------
     owned_slc = (slice(k_steps, k_steps + by), slice(ox, ox + ow))
@@ -361,21 +379,43 @@ def _kernel(
         # slab scratch and overwritten with our own (read-before-write on
         # the same slot). Block 0's bottom is the ring halo: it keeps the
         # classic recompute body.
+        # Slab layout: plain mode keeps the full m-row slab (measured ~2.4
+        # us/step faster at 1024^2 than the slim variant — aligned reads,
+        # no broadcast). x_halo windows are 1280+ lanes wide, where the
+        # m-row slab's 2.95 MB pushes Mosaic past VMEM (SIGABRT): there the
+        # SLIM slab stores ONE exact row per (state, channel) — all the
+        # substitution truly needs (window_step broadcasts it across the
+        # margin) — in a 2-D (K*9, wx) layout that dodges 8-sublane
+        # padding: 0.37 MB, and full,exact compiles.
         slab = extra_scratch[0]
+        slim = xrefs is not None
 
-        def sub_read(s):
-            return [slab[s, c] for c in range(NSPEEDS)]
+        if slim:
+            def sub_read(s):
+                return [slab[pl.ds(s * NSPEEDS + c, 1), :]
+                        for c in range(NSPEEDS)]
 
-        def collect(s, rows):
-            for c in range(NSPEEDS):
-                slab[s, c] = rows[c]
+            def collect(s, rows):
+                for c in range(NSPEEDS):
+                    slab[pl.ds(s * NSPEEDS + c, 1), :] = rows[c]
+
+            coll_rows = (by + m - 1, 1)
+        else:
+            def sub_read(s):
+                return [slab[s, c] for c in range(NSPEEDS)]
+
+            def collect(s, rows):
+                for c in range(NSPEEDS):
+                    slab[s, c] = rows[c]
+
+            coll_rows = (by, m)
 
         def run_and_store(sub, first):
             wf, parts = fused_window_steps(
                 w, blocked, accel_sel, k_steps, omega, w1, w2,
                 owned=owned_slc, av_mask=av_mask,
                 sub_read=sub, sub_rows=m,
-                collect=collect, collect_rows=(by, m),
+                collect=collect, collect_rows=coll_rows,
             )
             for s, part in enumerate(parts):
                 if first:
@@ -385,13 +425,40 @@ def _kernel(
             for c in range(NSPEEDS):
                 out_ref[c] = wf[c][k_steps : k_steps + by, ox : ox + ow]
 
-        @pl.when(i == 0)
-        def _():
-            run_and_store(None, True)
+        if slab_all:
+            # Single body for every block: block 0 substitutes whatever the
+            # slab scratch holds (garbage at call start) — its bottom
+            # av_skip_rows owned rows come out contaminated and the CALLER
+            # must recompute them (and their sums) with a fix pass. Halves
+            # the traced body vs the predicated classic+exact pair.
+            def run_all():
+                wf, parts = fused_window_steps(
+                    w, blocked, accel_sel, k_steps, omega, w1, w2,
+                    owned=owned_slc, av_mask=av_mask,
+                    sub_read=sub_read, sub_rows=m,
+                    collect=collect, collect_rows=coll_rows,
+                )
+                for s, part in enumerate(parts):
+                    @pl.when(i == 0)
+                    def _(s=s, part=part):
+                        acc[s, 0] = part
 
-        @pl.when(i > 0)
-        def _():
-            run_and_store(sub_read, False)
+                    @pl.when(i > 0)
+                    def _(s=s, part=part):
+                        acc[s, 0] += part
+
+                for c in range(NSPEEDS):
+                    out_ref[c] = wf[c][k_steps : k_steps + by, ox : ox + ow]
+
+            run_all()
+        else:
+            @pl.when(i == 0)
+            def _():
+                run_and_store(None, True)
+
+            @pl.when(i > 0)
+            def _():
+                run_and_store(sub_read, False)
 
     @pl.when(i == n - 1)
     def _():
@@ -416,6 +483,8 @@ def make_kstep(
     x_halo: bool = False,
     row_reuse: Optional[bool] = None,
     exact_bottom: Optional[bool] = None,
+    exact_bottom_all: bool = False,
+    x_narrow: bool = True,
 ):
     """Returns ``(prepare, chunk)``:
 
@@ -466,6 +535,13 @@ def make_kstep(
         exact_bottom = k_steps == _MARGIN and h // by >= 2
     else:
         exact_bottom = exact_bottom and k_steps == _MARGIN and h // by >= 2
+    # slab_all: one exact body for every block — block 0 substitutes
+    # garbage, contaminating strip rows [0, K) (values and sums), which the
+    # CALLER must recompute with a fix pass. Needs by - m >= K-1 so block
+    # 0's collected slab stays valid for block 1.
+    exact_bottom_all = (
+        exact_bottom_all and exact_bottom and by >= _MARGIN + k_steps
+    )
     ox, ow = owned_cols if owned_cols is not None else (0, nx)
     if ox % 128 or ow % 128 or ox + ow > nx:
         raise ValueError(f"owned_cols {owned_cols} must be 128-aligned and in range")
@@ -474,7 +550,8 @@ def make_kstep(
         _kernel, by=by, nx=nx, h=h, k_steps=k_steps, ny_global=ny_global,
         omega=float(omega), w1=float(accel_w1), w2=float(accel_w2),
         slots=slots, ox=ox, ow=ow, canon_ny=canon_ny, row_reuse=row_reuse,
-        slab_bottom=exact_bottom,
+        slab_bottom=exact_bottom, slab_all=exact_bottom_all,
+        av_skip_rows=k_steps if exact_bottom_all else 0, x_narrow=x_narrow,
     )
 
     in_specs = [
@@ -538,7 +615,13 @@ def make_kstep(
             pltpu.SemaphoreType.DMA((slots,)),
             pltpu.SemaphoreType.DMA((slots,)),  # sem_r (row-overlap reuse)
             pltpu.SMEM((k_steps, 1), jnp.float32),
-        ] + ([pltpu.VMEM((k_steps, NSPEEDS, _MARGIN, wx), jnp.float32)]
+        ] + ([pltpu.VMEM(
+                # x_halo: 2-D slim slab (one row per state/channel, width =
+                # the compute window); plain: full m-row slab (see kernel)
+                (k_steps * NSPEEDS,
+                 nx + 2 * k_steps if x_narrow else nx + 2 * _MX)
+                if x_halo else
+                (k_steps, NSPEEDS, _MARGIN, nx), jnp.float32)]
              if exact_bottom else []),
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("arbitrary",),

@@ -97,9 +97,23 @@ def fused_window_steps(
             r0, rs = collect_rows
             collect(s, [lead_slice(w[c], r0, rs) for c in range(NSPEEDS)])
         if sub_read is not None:
+            def fill(sc):
+                # A provider may hand back fewer slices than the margin —
+                # the minimal exact requirement is ONE (the cell row
+                # adjacent to the computed region); broadcast it across the
+                # margin (the other copies are garbage-equivalent, absorbed
+                # exactly like the recomputed margin they replace).
+                if sc.shape[sub_axis] < sub_rows:
+                    tgt = list(sc.shape)
+                    tgt[sub_axis] = sub_rows
+                    sc = jnp.broadcast_to(sc, tuple(tgt))
+                return sc
+
             w = [
                 jnp.concatenate(
-                    [subs[c], lead_slice(w[c], sub_rows, w[c].shape[sub_axis] - sub_rows)],
+                    [fill(subs[c]),
+                     lead_slice(w[c], sub_rows,
+                                w[c].shape[sub_axis] - sub_rows)],
                     axis=sub_axis,
                 )
                 for c in range(NSPEEDS)
