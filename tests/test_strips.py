@@ -33,9 +33,9 @@ def _case(ny, nx):
 
 def test_supported_gate():
     p, _ = _case(64, 256)
-    assert supported_strips(p, 1, 8, bx=128, by=8)
-    assert not supported_strips(p, 2, 8, bx=128, by=8)   # single-device only
-    assert not supported_strips(p, 1, 8, bx=256, by=8)   # needs >= 2 strips
+    assert supported_strips(p, 1, 8, bx=128, by=16)
+    assert not supported_strips(p, 2, 8, bx=128, by=16)  # single-device only
+    assert not supported_strips(p, 1, 8, bx=256, by=16)  # needs >= 2 strips
 
 
 @pytest.mark.parametrize("ny,nx,n", [(64, 256, 16), (64, 384, 19), (48, 256, 8)])
@@ -43,7 +43,7 @@ def test_strips_match_oracle(ny, nx, n):
     params, obst = _case(ny, nx)
     f_ref, av_ref = run_steps(initial_state(params), obst, params, n)
     runner = _make_kstep_strips_runner(
-        params, n, get_mesh(n_devices=1), k=8, bx=128, by=8
+        params, n, get_mesh(n_devices=1), k=8, bx=128, by=16
     )
     f, av = runner(initial_state(params), obst)
     assert np.array_equal(np.asarray(f), np.asarray(f_ref))

@@ -820,29 +820,38 @@ def _make_kstep_strips_runner(
     k: int,
     bx: int = 1024,
     by: int = 32,
+    fused: bool = True,
 ):
-    """Single-device wide grids as column STRIPS driven by the 1-D x-halo
-    K-step kernel: the state lives band-major ((NS, 9, H, BX), one strip per
-    band), each strip's x margins come from its ring neighbours as
-    lane-aligned 128-wide pads (materialized per K-chunk: 2*K columns per
-    strip — a few %% of a pass, fully DMA-overlapped), and each strip runs
-    the full 1-D kernel vertically. This inherits the 1-D kernel's
-    row-overlap DMA reuse AND exact bottom-margin substitution, which the
-    column-innermost kstep2d grid cannot have (its row blocks change only
-    at the wrap): compute drops from kstep2d's (BY+16)-row windows to
-    (BY+8), measured on device time (docs/measurements/round2.md)."""
-    from tpulbm.ops import pallas_kstep
+    """Single-device wide grids as column STRIPS: band-major state
+    ((NS, 9, H, BX)), strip-edge x margins materialized per K-chunk as
+    lane-aligned 128-wide pads, corner-carrying self-wrap y slabs, and the
+    1-D kernel's row machinery (row-overlap DMA reuse + exact bottom-margin
+    substitution) down each strip. ``fused=True`` (default) runs ONE
+    pallas_call whose grid spans (strips, row blocks) with row blocks
+    innermost — the pipeline never drains between strips
+    (ops/pallas_kstep_strips.py); ``fused=False`` is the per-strip-call
+    variant over the x_halo 1-D kernel (measured 1.38x slower — kept as
+    the A/B baseline, docs/measurements/round2.md)."""
+    from tpulbm.ops import pallas_kstep, pallas_kstep_strips
     from tpulbm.ops import pallas_kstep_bands as pkb
 
     assert mesh.devices.size == 1
     h = params.ny
     ns = params.nx // bx
     n_outer, rem = divmod(n_steps, k)
-    mk = functools.partial(
-        pallas_kstep.make_kstep, h, bx, ny_global=params.ny,
-        omega=params.omega, accel_w1=params.accel_w1,
-        accel_w2=params.accel_w2, x_halo=True, by=by, x_narrow=False,
-    )
+    if fused:
+        mk = functools.partial(
+            pallas_kstep_strips.make_kstep_strips, h, params.nx,
+            ny_global=params.ny, omega=params.omega,
+            accel_w1=params.accel_w1, accel_w2=params.accel_w2,
+            bx=bx, by=by,
+        )
+    else:
+        mk = functools.partial(
+            pallas_kstep.make_kstep, h, bx, ny_global=params.ny,
+            omega=params.omega, accel_w1=params.accel_w1,
+            accel_w2=params.accel_w2, x_halo=True, by=by, x_narrow=False,
+        )
     prepare, chunk_k = mk(k_steps=k)
     chunk_r = mk(k_steps=rem)[1] if rem else None
     free_inv = jnp.float32(params.free_cells_inv)
@@ -877,6 +886,8 @@ def _make_kstep_strips_runner(
         xlo_p, xhi_p = margins(gb, kk)
         ylo = bands_of(gb, xlo_p, xhi_p, h - kk, h)
         yhi = bands_of(gb, xlo_p, xhi_p, 0, kk)
+        if fused:
+            return chunk(gb, ylo, yhi, aux, scal, xlo_p, xhi_p)
         outs, avs = [], 0.0
         for b in range(ns):
             g2, av_b = chunk(gb[b], ylo[b], yhi[b], aux[b], scal,
@@ -885,17 +896,22 @@ def _make_kstep_strips_runner(
             avs = avs + av_b
         return jnp.stack(outs, axis=0), avs
 
+    def aux_for(ob, kk):
+        oxlo, oxhi = margins(ob, kk)
+        oylo = bands_of(ob, oxlo, oxhi, h - kk, h)
+        oyhi = bands_of(ob, oxlo, oxhi, 0, kk)
+        if fused:
+            return prepare(ob, oylo, oyhi, oxlo, oxhi)
+        return [
+            prepare(ob[b], oylo[b], oyhi[b], oxlo[b], oxhi[b])
+            for b in range(ns)
+        ]
+
     @functools.partial(jax.jit, donate_argnums=0)
     def runner(f, obstacles):
         gb = pkb.to_bands(f, bx)
         ob = obstacles.astype(jnp.float32).reshape(h, ns, bx).transpose(1, 0, 2)
-        oxlo, oxhi = margins(ob, k)
-        oylo = bands_of(ob, oxlo, oxhi, h - k, h)
-        oyhi = bands_of(ob, oxlo, oxhi, 0, k)
-        aux = [
-            prepare(ob[b], oylo[b], oyhi[b], oxlo[b], oxhi[b])
-            for b in range(ns)
-        ]
+        aux = aux_for(ob, k)
 
         def body(g, _):
             g2, av = step_strips(g, aux, chunk_k, k)
@@ -904,14 +920,7 @@ def _make_kstep_strips_runner(
         gb_out, avs = jax.lax.scan(body, gb, None, length=n_outer)
         av = avs.reshape(-1)
         if chunk_r is not None:
-            oxlo_r, oxhi_r = margins(ob, rem)
-            oylo_r = bands_of(ob, oxlo_r, oxhi_r, h - rem, h)
-            oyhi_r = bands_of(ob, oxlo_r, oxhi_r, 0, rem)
-            aux_r = [
-                prepare(ob[b], oylo_r[b], oyhi_r[b], oxlo_r[b], oxhi_r[b])
-                for b in range(ns)
-            ]
-            gb_out, av_r = step_strips(gb_out, aux_r, chunk_r, rem)
+            gb_out, av_r = step_strips(gb_out, aux_for(ob, rem), chunk_r, rem)
             av = jnp.concatenate([av, av_r * free_inv])
         return pkb.from_bands(gb_out), av
 
