@@ -140,3 +140,33 @@ def _canonical_feq(monkeypatch):
     from tpulbm.ops import window_step
 
     monkeypatch.setattr(window_step, "PAIR_SYMMETRIC_DEFAULT", False)
+
+
+def test_exact_all_composite_matches_oracle():
+    """exact_all (single-body kernel + classic fix pass over block 0's
+    first K rows) through make_runner, at a shape with >= 2 row blocks so
+    the gate activates (ny=512 -> BY=256, 2 blocks)."""
+    import tpulbm.dist.runner as R
+    from tpulbm.core.params import LBMParams
+
+    ny, nx = 512, 128
+    p = LBMParams(nx=nx, ny=ny, max_iters=1, reynolds_dim=10,
+                  density=0.1, accel=0.005, omega=1.85)
+    rng = np.random.RandomState(3)
+    mask = rng.rand(ny, nx) < 0.1
+    p = p.with_free_cells(ny * nx - int(mask.sum()))
+    obst = jnp.asarray(mask)
+    n = 19
+    f_ref, av_ref = run_steps(initial_state(p), obst, p, n)
+    runner = R._make_kstep_runner(p, n, get_mesh(n_devices=1), k=8,
+                                  alias_donor=True, exact_all=True)
+    f, av = runner(initial_state(p), obst)
+    assert np.array_equal(np.asarray(f), np.asarray(f_ref))
+    np.testing.assert_allclose(np.asarray(av), np.asarray(av_ref), rtol=2e-5)
+
+    # and over the ring (2 devices, h=256 -> BY=128, 2 blocks per shard)
+    runner2 = R._make_kstep_runner(p, n, get_mesh(n_devices=2), k=8,
+                                   alias_donor=True, exact_all=True)
+    f2, av2 = runner2(initial_state(p), obst)
+    assert np.array_equal(np.asarray(f2), np.asarray(f_ref))
+    np.testing.assert_allclose(np.asarray(av2), np.asarray(av_ref), rtol=2e-5)

@@ -125,6 +125,7 @@ def _make_kstep_runner(
     maker=None,
     alias_donor: bool = False,
     padded: bool = False,
+    exact_all: bool = False,
 ):
     """Runner over a K-step temporal-blocking kernel (1-D row blocks, or 2-D
     row-x-column tiles for wide grids): K fused timesteps per HBM pass, halo
@@ -176,12 +177,35 @@ def _make_kstep_runner(
         h, params.nx, ny_global=params.ny, omega=params.omega,
         accel_w1=params.accel_w1, accel_w2=params.accel_w2, **extra,
     )
+    from tpulbm.ops import pallas_kstep as _pk
+
+    # exact_all: the K-step kernel runs ONE exact-substitution body for
+    # every row block (~6% faster than the classic+exact pair at 1024^2);
+    # block 0's first K owned rows come out contaminated and excluded from
+    # its sums, and a tiny classic fix kernel recomputes them (values and
+    # sums) from the chunk's input + ring halo each chunk.
+    exact_all = (
+        exact_all and not padded and maker is _pk.make_kstep
+        and k == _pk.MAX_K and rem >= 0
+        and _pk.pick_block_rows(h, params.nx) is not None
+        and (_pk.pick_block_rows(h, params.nx) or 0) >= 2 * _pk._MARGIN
+        and h // (_pk.pick_block_rows(h, params.nx) or 1) >= 2
+    )
+    extra_k = {"exact_bottom_all": True} if exact_all else {}
     if alias_donor:
-        prepare, chunk_k = mk(k_steps=k, alias_donor=True)
-        _, chunk_plain = mk(k_steps=k)
+        prepare, chunk_k = mk(k_steps=k, alias_donor=True, **extra_k)
+        _, chunk_plain = mk(k_steps=k, **extra_k)
     else:
-        prepare, chunk_k = mk(k_steps=k)
+        prepare, chunk_k = mk(k_steps=k, **extra_k)
     chunk_r = mk(k_steps=rem)[1] if rem else None
+    chunk_fix = None
+    if exact_all:
+        _, chunk_fix = _pk.make_kstep(
+            k, params.nx, k_steps=k, ny_global=params.ny,
+            omega=params.omega, accel_w1=params.accel_w1,
+            accel_w2=params.accel_w2, by=k, row_reuse=False,
+            exact_bottom=False,
+        )
     free_inv = jnp.float32(params.free_cells_inv)
     accel_glob = params.accel_row
 
@@ -196,20 +220,41 @@ def _make_kstep_runner(
 
         aux_k = aux_for(k)
 
+        if chunk_fix is not None:
+            # exact_all fix pass: recompute block 0's first K rows (values
+            # AND per-step sums) classically from the chunk's INPUT state +
+            # the same ring halo, then splice them over the contaminated
+            # rows. ~K/h of a chunk's compute.
+            aux_fix = (obst_f[:k], aux_k[1], obst_f[k : 2 * k])
+
+            def fixed(g_in, hlo, g_out, av_c):
+                f_fix, av_f = chunk_fix(
+                    g_in[:, :k, :], hlo, g_in[:, k : 2 * k, :], aux_fix,
+                    scal,
+                )
+                g_out = jax.lax.dynamic_update_slice(g_out, f_fix, (0, 0, 0))
+                return g_out, av_c + av_f
+        else:
+            def fixed(g_in, hlo, g_out, av_c):
+                return g_out, av_c
+
         if alias_donor:
             n_pairs, odd = divmod(n_outer, 2)
             av_head = None
             if odd:
                 hlo, hhi = psl(f, k)
-                f, av0 = chunk_plain(f, hlo, hhi, aux_k, scal)
+                f0, av0 = chunk_plain(f, hlo, hhi, aux_k, scal)
+                f, av0 = fixed(f, hlo, f0, av0)
                 av_head = av0 * free_inv
 
             def body(carry, _):
                 g, scratch = carry
                 hlo, hhi = psl(g, k)
                 t1, av1 = chunk_k(g, hlo, hhi, aux_k, scal, scratch)
+                t1, av1 = fixed(g, hlo, t1, av1)
                 hlo, hhi = psl(t1, k)
                 t2, av2 = chunk_k(t1, hlo, hhi, aux_k, scal, g)
+                t2, av2 = fixed(t1, hlo, t2, av2)
                 return (t2, t1), jnp.concatenate([av1, av2]) * free_inv
 
             (f_out, _), avs = jax.lax.scan(
@@ -222,6 +267,7 @@ def _make_kstep_runner(
             def body(g, _):
                 hlo, hhi = psl(g, k)
                 g2, av = chunk_k(g, hlo, hhi, aux_k, scal)
+                g2, av = fixed(g, hlo, g2, av)
                 return g2, av * free_inv
 
             f_out, avs = jax.lax.scan(body, f, None, length=n_outer)
@@ -1152,7 +1198,8 @@ def make_runner(
         k = min(pallas_kstep.MAX_K, n_steps)
         if pallas_kstep.supported(rows_local, params.nx, k):
             return _make_kstep_runner(
-                params, n_steps, mesh, k, axis_name, alias_donor=True
+                params, n_steps, mesh, k, axis_name, alias_donor=True,
+                exact_all=True,
             )
         from tpulbm.ops import pallas_kstep2d
 

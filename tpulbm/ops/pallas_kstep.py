@@ -113,7 +113,6 @@ def _kernel(
     row_reuse: bool = False,
     slab_bottom: bool = False,
     slab_all: bool = False,
-    av_skip_rows: int = 0,
     x_narrow: bool = True,
 ):
     # xrefs = (xlo_ref, xhi_ref, oxlo_ref, oxhi_ref) in x_halo (torus) mode:
@@ -342,16 +341,10 @@ def _kernel(
 
     # Periodic-extension padding (padded runner): mirror rows (padded global
     # index >= real ny) evolve like their originals but are excluded from
-    # the |u| series so canonical cells count exactly once. av_skip_rows
-    # (slab_all mode): global rows [0, av_skip_rows) are excluded — they
-    # come out contaminated from block 0's garbage substitution and are
-    # recomputed (values AND sums) by the caller's fix pass.
+    # the |u| series so canonical cells count exactly once.
     av_mask = None
     if canon_ny:
         av_mask = (win_start + row_ids_n) < canon_ny
-    if av_skip_rows:
-        skip = (win_start + row_ids_n) >= av_skip_rows
-        av_mask = skip if av_mask is None else (av_mask & skip)
 
     # -- K fused steps, constant window shape (see ops.window_step) ---------
     owned_slc = (slice(k_steps, k_steps + by), slice(ox, ox + ow))
@@ -427,25 +420,30 @@ def _kernel(
 
         if slab_all:
             # Single body for every block: block 0 substitutes whatever the
-            # slab scratch holds (garbage at call start) — its bottom
-            # av_skip_rows owned rows come out contaminated and the CALLER
-            # must recompute them (and their sums) with a fix pass. Halves
-            # the traced body vs the predicated classic+exact pair.
+            # slab scratch holds (garbage at call start) — its first
+            # k_steps owned rows come out contaminated and the CALLER must
+            # recompute them (values AND sums) with a fix pass; its |u|
+            # contribution uses the reduced owned slice that skips them
+            # (dual static-slice sums — a mask formulation SIGABRTs
+            # Mosaic). Halves the traced body vs the classic+exact pair
+            # (measured 46.9 vs 50.1 us/step at 1024^2).
             def run_all():
                 wf, parts = fused_window_steps(
                     w, blocked, accel_sel, k_steps, omega, w1, w2,
                     owned=owned_slc, av_mask=av_mask,
                     sub_read=sub_read, sub_rows=m,
                     collect=collect, collect_rows=coll_rows,
+                    owned_alt=(slice(2 * k_steps, k_steps + by),
+                               owned_slc[1]),
                 )
-                for s, part in enumerate(parts):
+                for s, (pf, pr) in enumerate(parts):
                     @pl.when(i == 0)
-                    def _(s=s, part=part):
-                        acc[s, 0] = part
+                    def _(s=s, pr=pr):
+                        acc[s, 0] = pr
 
                     @pl.when(i > 0)
-                    def _(s=s, part=part):
-                        acc[s, 0] += part
+                    def _(s=s, pf=pf):
+                        acc[s, 0] += pf
 
                 for c in range(NSPEEDS):
                     out_ref[c] = wf[c][k_steps : k_steps + by, ox : ox + ow]
@@ -551,7 +549,7 @@ def make_kstep(
         omega=float(omega), w1=float(accel_w1), w2=float(accel_w2),
         slots=slots, ox=ox, ow=ow, canon_ny=canon_ny, row_reuse=row_reuse,
         slab_bottom=exact_bottom, slab_all=exact_bottom_all,
-        av_skip_rows=k_steps if exact_bottom_all else 0, x_narrow=x_narrow,
+        x_narrow=x_narrow,
     )
 
     in_specs = [

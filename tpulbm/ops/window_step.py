@@ -43,6 +43,7 @@ def fused_window_steps(
     collect=None,
     collect_rows: Optional[Tuple[int, int]] = None,
     sub_axis: int = 0,
+    owned_alt: Optional[Tuple[slice, slice]] = None,
 ):
     """Runs ``k_steps`` fused lattice steps on window values ``w`` (nine
     (H, W) planes). ``accel_sel`` selects the accelerated row's cells
@@ -146,13 +147,17 @@ def fused_window_steps(
         out, speed = physics.collide(t, blocked_c, omega, pair_symmetric)
         if av_mask_c is not None:
             speed = jnp.where(av_mask_c, speed, zero)
-        o_r, o_c = owned
-        if off and sub_axis == 0:
-            o_r = slice(o_r.start - off, o_r.stop - off)
-        elif off and sub_axis == 1:
-            o_c = slice(o_c.start - off, o_c.stop - off)
+        def part_of(slc):
+            o_r, o_c = slc
+            if off and sub_axis == 0:
+                o_r = slice(o_r.start - off, o_r.stop - off)
+            elif off and sub_axis == 1:
+                o_c = slice(o_c.start - off, o_c.stop - off)
+            return jnp.sum(speed[o_r, o_c], dtype=jnp.float32)
+
         parts.append(
-            jnp.sum(speed[o_r, o_c], dtype=jnp.float32)
+            part_of(owned) if owned_alt is None
+            else (part_of(owned), part_of(owned_alt))
         )
         if off:
             pad_shape = (off, out[0].shape[1]) if sub_axis == 0 \
