@@ -102,3 +102,32 @@ def test_kstep2d_exact_left_tolerance(multi_tile_case):
     np.testing.assert_allclose(np.asarray(f), np.asarray(f_ref),
                                rtol=0, atol=1e-6)
     np.testing.assert_allclose(np.asarray(av), np.asarray(av_ref), rtol=2e-5)
+
+
+def test_row_inner_composite_matches_oracle():
+    """row_inner (single-body exact chain per column strip) + the runner's
+    fix pass over global rows [0, K), through _make_kstep_runner with
+    exact_all=True."""
+    import functools
+
+    import tpulbm.dist.runner as R
+    from tpulbm.core.params import LBMParams
+
+    ny, nx = 64, 256
+    p = LBMParams(nx=nx, ny=ny, max_iters=1, reynolds_dim=10,
+                  density=0.1, accel=0.005, omega=1.85)
+    rng = np.random.RandomState(5)
+    mask = rng.rand(ny, nx) < 0.1
+    p = p.with_free_cells(ny * nx - int(mask.sum()))
+    obst = jnp.asarray(mask)
+    for n_dev, n in [(1, 19), (2, 16)]:
+        f_ref, av_ref = run_steps(initial_state(p), obst, p, n)
+        runner = R._make_kstep_runner(
+            p, n, get_mesh(n_devices=n_dev), k=8,
+            maker=functools.partial(pk2.make_kstep2d, tile=(16, 128)),
+            exact_all=True,
+        )
+        f, av = runner(initial_state(p), obst)
+        assert np.array_equal(np.asarray(f), np.asarray(f_ref)), n_dev
+        np.testing.assert_allclose(np.asarray(av), np.asarray(av_ref),
+                                   rtol=2e-5)

@@ -178,20 +178,32 @@ def _make_kstep_runner(
         accel_w1=params.accel_w1, accel_w2=params.accel_w2, **extra,
     )
     from tpulbm.ops import pallas_kstep as _pk
+    from tpulbm.ops import pallas_kstep2d as _pk2
 
     # exact_all: the K-step kernel runs ONE exact-substitution body for
     # every row block (~6% faster than the classic+exact pair at 1024^2);
     # block 0's first K owned rows come out contaminated and excluded from
     # its sums, and a tiny classic fix kernel recomputes them (values and
-    # sums) from the chunk's input + ring halo each chunk.
-    exact_all = (
-        exact_all and not padded and maker is _pk.make_kstep
-        and k == _pk.MAX_K and rem >= 0
-        and _pk.pick_block_rows(h, params.nx) is not None
-        and (_pk.pick_block_rows(h, params.nx) or 0) >= 2 * _pk._MARGIN
-        and h // (_pk.pick_block_rows(h, params.nx) or 1) >= 2
-    )
-    extra_k = {"exact_bottom_all": True} if exact_all else {}
+    # sums) from the chunk's input + ring halo each chunk. For the 2-D
+    # tiling the same contract is the row_inner kernel (row blocks chain
+    # within each column strip; every strip's block 0 is contaminated over
+    # the same global rows [0, K), so the one full-width fix covers all).
+    base_maker = maker.func if isinstance(maker, functools.partial) else maker
+    extra_k = {}
+    if exact_all and not padded and k == _pk.MAX_K:
+        if base_maker is _pk.make_kstep:
+            by_pick = _pk.pick_block_rows(h, params.nx)
+            if (by_pick and by_pick >= _pk._MARGIN + k
+                    and h // by_pick >= 2):
+                extra_k = {"exact_bottom_all": True}
+        elif base_maker is _pk2.make_kstep2d:
+            tile = (maker.keywords.get("tile")
+                    if isinstance(maker, functools.partial) else None)
+            if tile is None:
+                tile = _pk2.pick_tile(h, params.nx)
+            if tile and tile[0] >= _pk2._MY + k and h // tile[0] >= 2:
+                extra_k = {"row_inner": True}
+    exact_all = bool(extra_k)
     if alias_donor:
         prepare, chunk_k = mk(k_steps=k, alias_donor=True, **extra_k)
         _, chunk_plain = mk(k_steps=k, **extra_k)
@@ -200,12 +212,22 @@ def _make_kstep_runner(
     chunk_r = mk(k_steps=rem)[1] if rem else None
     chunk_fix = None
     if exact_all:
-        _, chunk_fix = _pk.make_kstep(
-            k, params.nx, k_steps=k, ny_global=params.ny,
-            omega=params.omega, accel_w1=params.accel_w1,
-            accel_w2=params.accel_w2, by=k, row_reuse=False,
-            exact_bottom=False,
-        )
+        # the fix kernel is a single K-row classic block over the full
+        # width: 1-D when the window fits, 2-D column tiles otherwise
+        if _pk.supported(k, params.nx, k):
+            _, chunk_fix = _pk.make_kstep(
+                k, params.nx, k_steps=k, ny_global=params.ny,
+                omega=params.omega, accel_w1=params.accel_w1,
+                accel_w2=params.accel_w2, by=k, row_reuse=False,
+                exact_bottom=False,
+            )
+        else:
+            _, chunk_fix = _pk2.make_kstep2d(
+                k, params.nx, k_steps=k, ny_global=params.ny,
+                omega=params.omega, accel_w1=params.accel_w1,
+                accel_w2=params.accel_w2, tile=(k, 1024),
+                exact_left=False,
+            )
     free_inv = jnp.float32(params.free_cells_inv)
     accel_glob = params.accel_row
 
@@ -1211,7 +1233,7 @@ def make_runner(
             # available via _make_kstep_bands_runner for tuning/A-B.
             return _make_kstep_runner(
                 params, n_steps, mesh, k, axis_name,
-                maker=pallas_kstep2d.make_kstep2d,
+                maker=pallas_kstep2d.make_kstep2d, exact_all=True,
             )
         from tpulbm.ops import pallas_kstep_bands
 

@@ -370,6 +370,244 @@ def _kernel(
             av_ref[s, 0] = acc[s, 0]
 
 
+
+
+def _kernel_row_inner(
+    f_ref,        # (9, H, nx) HBM
+    lo_ref,       # (9, K, nx) VMEM
+    hi_ref,       # (9, K, nx) VMEM
+    obst_ref,     # (H, nx) HBM float32 mask
+    olo_ref,      # (K, nx) VMEM
+    ohi_ref,      # (K, nx) VMEM
+    scal_ref,     # (1, 2) SMEM int32
+    out_ref,      # (9, BY, BX) VMEM block
+    av_ref,       # (K, 1) SMEM
+    fbuf,         # (2, 9, WY, WX) VMEM
+    obuf,         # (2, WY, WX) VMEM
+    sem_f, sem_o,  # DMA semaphores (2,)
+    sem_r,        # row-overlap local copy semaphore (2,)
+    acc,          # (K, 1) SMEM
+    slab,         # (K*9, WX) VMEM slim slab
+    *,
+    by: int,
+    bx: int,
+    nx: int,
+    h: int,
+    k_steps: int,
+    ny_global: int,
+    omega: float,
+    w1: float,
+    w2: float,
+):
+    """ROW-INNER variant: grid = (ncol, nrow) so row blocks chain within
+    each column strip, carrying the 1-D kernel's row-overlap DMA reuse and
+    the single-body exact bottom-margin substitution (every block
+    substitutes; block (j, 0) of each strip gets garbage, its first K
+    owned rows are excluded from the sums via a reduced owned slice and
+    recomputed by the runner's fix pass). Both column margins come from
+    HBM every window (the column-inner variant's left-margin VMEM reuse
+    needs the other grid order — measured free on device time anyway)."""
+    my, mx = _MY, _MX
+    wy = by + 2 * my
+    wx = bx + 2 * mx
+    j = pl.program_id(0)
+    i = pl.program_id(1)
+    ncol = pl.num_programs(0)
+    nrow = pl.num_programs(1)
+    lin = j * nrow + i
+    slot = jax.lax.rem(lin, 2)
+    nslot = jax.lax.rem(lin + 1, 2)
+    n_static = h // by
+
+    def col_pieces(b_col):
+        left = jax.lax.rem(b_col * bx - mx + nx, nx)
+        main = b_col * bx
+        right = jax.lax.rem((b_col + 1) * bx, nx)
+        return [
+            (pl.multiple_of(left, mx), 0, mx),
+            (pl.multiple_of(main, mx), mx, bx),
+            (pl.multiple_of(right, mx), mx + bx, mx),
+        ]
+
+    def row_cases(b_row, reduced=False):
+        first = b_row == 0
+        last = b_row == nrow - 1
+        cases = []
+        if n_static == 1:
+            cases.append((first & last, 0, by, my))
+        elif reduced:
+            if n_static > 2:
+                cases.append(((b_row != 0) & (b_row != nrow - 1),
+                              b_row * by + my, by, 2 * my))
+            if by > my:
+                cases.append(((b_row != 0) & last, b_row * by + my,
+                              by - my, 2 * my))
+        else:
+            cases.append((first, 0, by + my, my))
+            if n_static > 2:
+                cases.append(((b_row != 0) & (b_row != nrow - 1),
+                              b_row * by - my, by + 2 * my, 0))
+            cases.append(((b_row != 0) & last, b_row * by - my, by + my, 0))
+        return cases
+
+    def dmas(b_col, b_row, s, do_start, reduced):
+        pieces = col_pieces(b_col)
+        for pred, src_row, row_sz, dst_row in row_cases(b_row, reduced):
+            @pl.when(pred)
+            def _():
+                src_r = pl.multiple_of(
+                    jnp.clip(src_row, 0, h - row_sz), _MY
+                )
+                for src_c, dst_c, w_ in pieces:
+                    fc = pltpu.make_async_copy(
+                        f_ref.at[:, pl.ds(src_r, row_sz), pl.ds(src_c, w_)],
+                        fbuf.at[s, :, pl.ds(dst_row, row_sz),
+                                pl.ds(dst_c, w_)],
+                        sem_f.at[s],
+                    )
+                    oc = pltpu.make_async_copy(
+                        obst_ref.at[pl.ds(src_r, row_sz), pl.ds(src_c, w_)],
+                        obuf.at[s, pl.ds(dst_row, row_sz),
+                                pl.ds(dst_c, w_)],
+                        sem_o.at[s],
+                    )
+                    if do_start:
+                        fc.start()
+                        oc.start()
+                    else:
+                        fc.wait()
+                        oc.wait()
+
+    def local_rows(src_s, dst_s, do_start):
+        copies = [
+            pltpu.make_async_copy(
+                fbuf.at[src_s, :, pl.ds(by, 2 * my), :],
+                fbuf.at[dst_s, :, pl.ds(0, 2 * my), :],
+                sem_r.at[dst_s],
+            ),
+            pltpu.make_async_copy(
+                obuf.at[src_s, pl.ds(by, 2 * my), :],
+                obuf.at[dst_s, pl.ds(0, 2 * my), :],
+                sem_r.at[dst_s],
+            ),
+        ]
+        for c in copies:
+            if do_start:
+                c.start()
+            else:
+                c.wait()
+
+    nxt = lin + 1
+    nxt_i = jax.lax.rem(nxt, nrow)
+    have_next = nxt < ncol * nrow
+    use_reuse = n_static >= 2
+
+    if use_reuse:
+        @pl.when(i != 0)
+        def _():
+            local_rows(nslot, slot, False)
+
+    @pl.when(lin == 0)
+    def _():
+        dmas(jnp.int32(0), jnp.int32(0), 0, True, False)
+
+    @pl.when(have_next & (nxt_i == 0))
+    def _():
+        dmas(nxt // nrow, nxt_i, nslot, True, False)
+
+    @pl.when(have_next & (nxt_i != 0))
+    def _():
+        dmas(nxt // nrow, nxt_i, nslot, True, use_reuse)
+
+    @pl.when(i == 0)
+    def _():
+        dmas(j, i, slot, False, False)
+
+    @pl.when(i != 0)
+    def _():
+        dmas(j, i, slot, False, use_reuse)
+
+    if use_reuse:
+        @pl.when(have_next & (nxt_i != 0))
+        def _():
+            local_rows(slot, nslot, True)
+
+    # -- window assembly ------------------------------------------------
+    zero = np.float32(0.0)
+    is_first = i == 0
+    is_last = i == nrow - 1
+    row_ids = jax.lax.broadcasted_iota(jnp.int32, (wy, wx), 0)
+
+    def halo_cols(ref, c=None):
+        pieces = col_pieces(j)
+        if c is None:
+            parts = [ref[:, pl.ds(src_c, w_)] for src_c, _, w_ in pieces]
+        else:
+            parts = [ref[c, :, pl.ds(src_c, w_)] for src_c, _, w_ in pieces]
+        return jnp.concatenate(parts, axis=1)
+
+    def assemble(buf_plane, lo_plane, hi_plane, c=None):
+        v = buf_plane
+        lo_full = jnp.pad(halo_cols(lo_plane, c),
+                          ((my - k_steps, wy - my), (0, 0)))
+        hi_full = jnp.pad(halo_cols(hi_plane, c),
+                          ((by + my, my - k_steps), (0, 0)))
+        v = jnp.where(
+            is_first & (row_ids < my) & (row_ids >= my - k_steps), lo_full, v
+        )
+        v = jnp.where(
+            is_last & (row_ids >= by + my) & (row_ids < by + my + k_steps),
+            hi_full, v,
+        )
+        return v
+
+    w = [assemble(fbuf[slot, c], lo_ref, hi_ref, c) for c in range(NSPEEDS)]
+    o = assemble(obuf[slot], olo_ref, ohi_ref)
+    blocked = o != zero
+
+    a_glob = scal_ref[0, 0]
+    shard_off = scal_ref[0, 1]
+    win_start = shard_off + i * by - my  # full window: row 0 at -my
+    a_off = jax.lax.rem(a_glob - win_start + 2 * ny_global, ny_global)
+    accel_sel = jax.lax.rem(row_ids - a_off + 2 * ny_global, ny_global) == 0
+
+    def sub_read(s):
+        return [slab[pl.ds(s * NSPEEDS + c, 1), :] for c in range(NSPEEDS)]
+
+    def collect(s, rows):
+        for c in range(NSPEEDS):
+            slab[pl.ds(s * NSPEEDS + c, 1), :] = rows[c]
+
+    owned_slc = (slice(my, my + by), slice(mx, mx + bx))
+    wf, parts = fused_window_steps(
+        w, blocked, accel_sel, k_steps, omega, w1, w2,
+        owned=owned_slc,
+        sub_read=sub_read, sub_rows=my,
+        collect=collect, collect_rows=(by + my - 1, 1),
+        owned_alt=(slice(my + k_steps, my + by), slice(mx, mx + bx)),
+    )
+    for s, (pf, pr) in enumerate(parts):
+        @pl.when(lin == 0)
+        def _(s=s, pr=pr):
+            acc[s, 0] = pr
+
+        @pl.when((lin > 0) & (i == 0))
+        def _(s=s, pr=pr):
+            acc[s, 0] += pr
+
+        @pl.when(i > 0)
+        def _(s=s, pf=pf):
+            acc[s, 0] += pf
+
+    for c in range(NSPEEDS):
+        out_ref[c] = wf[c][my : my + by, mx : mx + bx]
+
+    @pl.when(lin == ncol * nrow - 1)
+    def _():
+        for s in range(k_steps):
+            av_ref[s, 0] = acc[s, 0]
+
+
 def make_kstep2d(
     h: int,
     nx: int,
@@ -382,11 +620,15 @@ def make_kstep2d(
     tile: Optional[Tuple[int, int]] = None,
     local_reuse: bool = True,
     exact_left: Optional[bool] = None,
+    row_inner: bool = False,
 ):
     """Same contract as pallas_kstep.make_kstep: returns (prepare, chunk).
     ``local_reuse=False`` loads every margin from HBM (A/B baseline);
     ``exact_left=False`` disables the exact left-margin substitution
-    (classic full-window recompute, the other A/B baseline)."""
+    (classic full-window recompute, the other A/B baseline);
+    ``row_inner=True`` selects the row-inner single-body exact kernel —
+    the CALLER must run the fix pass over global rows [0, K) and exclude
+    them from the returned sums' coverage (see _kernel_row_inner)."""
     if tile is None:
         tile = pick_tile(h, nx)
     if tile is None or not supported(h, nx, k_steps):
@@ -396,6 +638,10 @@ def make_kstep2d(
     by, bx = tile
     if h % by or nx % bx:
         raise ValueError(f"tile {tile} does not divide local shape ({h}, {nx})")
+    if row_inner and (by < _MY + k_steps or h // by < 2):
+        raise ValueError(
+            f"row_inner needs BY >= {_MY + k_steps} and >= 2 row blocks"
+        )
     if interpret is None:
         interpret = jax.devices()[0].platform == "cpu"
     # exact_left default OFF: unlike the 1-D kernel's row case (+7%), the
@@ -407,16 +653,27 @@ def make_kstep2d(
     # docs/measurements/round2.md).
     exact_left = bool(exact_left) and nx // bx >= 2
 
-    kernel = functools.partial(
-        _kernel, by=by, bx=bx, nx=nx, h=h, k_steps=k_steps,
-        ny_global=ny_global, omega=float(omega), w1=float(accel_w1),
-        w2=float(accel_w2), local_reuse=local_reuse,
-        exact_left=exact_left,
-    )
+    if row_inner:
+        kernel = functools.partial(
+            _kernel_row_inner, by=by, bx=bx, nx=nx, h=h, k_steps=k_steps,
+            ny_global=ny_global, omega=float(omega), w1=float(accel_w1),
+            w2=float(accel_w2),
+        )
+        grid = (nx // bx, h // by)
+        out_map = lambda j, i: (0, i, j)
+    else:
+        kernel = functools.partial(
+            _kernel, by=by, bx=bx, nx=nx, h=h, k_steps=k_steps,
+            ny_global=ny_global, omega=float(omega), w1=float(accel_w1),
+            w2=float(accel_w2), local_reuse=local_reuse,
+            exact_left=exact_left,
+        )
+        grid = (h // by, nx // bx)
+        out_map = lambda i, j: (0, i, j)
 
     call = pl.pallas_call(
         kernel,
-        grid=(h // by, nx // bx),
+        grid=grid,
         in_specs=[
             pl.BlockSpec(memory_space=pl.ANY),
             pl.BlockSpec(memory_space=pltpu.VMEM),
@@ -427,7 +684,7 @@ def make_kstep2d(
             pl.BlockSpec(memory_space=pltpu.SMEM),
         ],
         out_specs=[
-            pl.BlockSpec((NSPEEDS, by, bx), lambda i, j: (0, i, j),
+            pl.BlockSpec((NSPEEDS, by, bx), out_map,
                          memory_space=pltpu.VMEM),
             pl.BlockSpec(memory_space=pltpu.SMEM),
         ],
@@ -443,7 +700,9 @@ def make_kstep2d(
             pltpu.SemaphoreType.DMA((2,)),  # sem_l (local left-margin copy)
             pltpu.SMEM((k_steps, 1), jnp.float32),
         ] + ([pltpu.VMEM((k_steps, NSPEEDS, by + 2 * _MY, _MX), jnp.float32)]
-             if exact_left else []),
+             if exact_left else [])
+          + ([pltpu.VMEM((k_steps * NSPEEDS, bx + 2 * _MX), jnp.float32)]
+             if row_inner else []),
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("arbitrary", "arbitrary"),
         ),
