@@ -92,6 +92,13 @@ def main():
             log("--grid requires a value (e.g. --grid 256x256)")
             return 2
         grid = sys.argv[idx + 1]
+    out_file = None
+    if "--out" in sys.argv:
+        idx = sys.argv.index("--out")
+        if idx + 1 >= len(sys.argv):
+            log("--out requires a path")
+            return 2
+        out_file = sys.argv[idx + 1]
     deck = f"data/input_{grid}.params"
     obst_file = f"data/obstacles_{grid}.dat"
     params = read_params(deck)
@@ -190,6 +197,26 @@ def main():
     }
     if dev_mlups:
         out["device_mlups"] = round(dev_mlups, 1)
+    if out_file:
+        # Committed bench artifact: everything the headline tables need to
+        # be byte-traceable — raw seconds, the window-health tag, and the
+        # code version the number was taken at (round-2 verdict item 4).
+        art = dict(out)
+        art.update({
+            "wall_s": round(best, 4),
+            "device_s": round(dev_s, 4) if dev_s else None,
+            "window": ("healthy" if dev_s and best <= 1.5 * dev_s
+                       else "degraded" if dev_s else "unknown"),
+            "wall_over_device": round(best / dev_s, 2) if dev_s else None,
+            "reynolds": round(reynolds, 4),
+            "timestamp": time.strftime("%Y-%m-%dT%H:%M:%S"),
+            "commit": os.popen("git rev-parse --short HEAD 2>/dev/null")
+            .read().strip() or None,
+        })
+        with open(out_file, "w") as fh:
+            json.dump(art, fh, indent=1)
+            fh.write("\n")
+        log(f"artifact -> {out_file}")
     print(json.dumps(out))
 
 

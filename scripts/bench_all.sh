@@ -10,9 +10,13 @@ case ":$PYTHONPATH:" in
   *) [ -d /root/.axon_site ] && export PYTHONPATH="$PYTHONPATH:/root/.axon_site" ;;
 esac
 
+# Each deck writes a committed JSON artifact (wall + device + window-health
+# tag) under bench_artifacts/ — the data the BENCHMARKS.md tables cite.
+ART_DIR="${ART_DIR:-bench_artifacts}"
+mkdir -p "$ART_DIR"
 fail=0
 for deck in 128x128 128x256 256x256 1024x1024 4096x4096; do
-  if ! python bench.py --grid "$deck" 2>/dev/null; then
+  if ! python bench.py --grid "$deck" --out "$ART_DIR/$deck.json" 2>/dev/null; then
     echo "BENCH FAILED: $deck" >&2
     fail=1
   fi

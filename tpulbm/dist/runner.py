@@ -222,10 +222,13 @@ def _make_kstep_runner(
                 exact_bottom=False,
             )
         else:
+            # tile=None lets pick_tile choose a valid (k, bx) with bx a
+            # 128-multiple divisor of nx — a hardcoded bx crashes for any
+            # nx % bx != 0 (e.g. nx=2304 passes the nx%128 gate).
             _, chunk_fix = _pk2.make_kstep2d(
                 k, params.nx, k_steps=k, ny_global=params.ny,
                 omega=params.omega, accel_w1=params.accel_w1,
-                accel_w2=params.accel_w2, tile=(k, 1024),
+                accel_w2=params.accel_w2, tile=None,
                 exact_left=False,
             )
     free_inv = jnp.float32(params.free_cells_inv)
