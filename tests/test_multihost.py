@@ -79,3 +79,53 @@ def test_two_process_cli_matches_single_process(tmp_path):
     a = np.loadtxt(mh / "av_vels.dat", usecols=[1])
     b = np.loadtxt(sp / "av_vels.dat", usecols=[1])
     np.testing.assert_allclose(a, b, rtol=1e-5)
+
+
+@pytest.mark.slow
+def test_two_process_orbax_checkpoint_restore(tmp_path):
+    """Round-2 verdict item 7: orbax save + sharding-aware restore across a
+    REAL 2-process gloo group — save 30 steps (each process writes its own
+    shards), restart the group, resume to 60, and match an uninterrupted
+    2-process run byte-for-byte."""
+    env = dict(os.environ)
+    env.pop("JAX_PLATFORMS", None)
+    env["PYTHONPATH"] = os.pathsep.join(
+        ["/root/repo"] + env.get("PYTHONPATH", "").split(os.pathsep)
+    )
+    deck = ["data/input_128x128.params", "data/obstacles_128x128.dat",
+            "--backend", "jnp"]
+
+    def smoke(*extra):
+        return subprocess.run(
+            ["bash", "scripts/launch_multihost.sh", "--local-smoke", "2x4",
+             *deck, *extra],
+            capture_output=True, text=True, env=env, cwd="/root/repo",
+            timeout=600,
+        )
+
+    straight = tmp_path / "straight"
+    proc = smoke("--max-iters", "60", "--out-dir", str(straight))
+    assert proc.returncode == 0, proc.stderr[-3000:]
+
+    ck = tmp_path / "ck"
+    part1 = tmp_path / "part1"
+    proc = smoke("--max-iters", "30", "--out-dir", str(part1),
+                 "--ckpt-backend", "orbax", "--checkpoint-every", "30",
+                 "--checkpoint-dir", str(ck))
+    assert proc.returncode == 0, proc.stderr[-3000:]
+    assert (ck / "ckpt_00000030.orbax").is_dir()
+
+    resumed = tmp_path / "resumed"
+    proc = smoke("--max-iters", "60", "--out-dir", str(resumed),
+                 "--resume", str(ck))
+    assert proc.returncode == 0, proc.stderr[-3000:]
+
+    assert (resumed / "final_state.dat").read_text() == (
+        straight / "final_state.dat"
+    ).read_text()
+    a = np.loadtxt(resumed / "av_vels.dat", usecols=[1])
+    b = np.loadtxt(straight / "av_vels.dat", usecols=[1])
+    # the av reduction contracts differently for 30- vs 60-step scans
+    # (~1 ULP), same as the sibling test above; final_state is the
+    # byte-exact gate
+    np.testing.assert_allclose(a, b, rtol=1e-5)

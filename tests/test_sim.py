@@ -71,6 +71,30 @@ def test_checkpoint_resume_bitwise_orbax(tmp_path):
     np.testing.assert_array_equal(full.av_vels[:40], resumed.av_vels[:40])
 
 
+def test_orbax_restore_is_sharded(tmp_path):
+    """Round-2 verdict item 7: orbax restore must place shards directly on
+    the mesh (per-device shards of ny/n rows), not round-trip a gathered
+    host array."""
+    import jax
+    from jax.sharding import PartitionSpec as P
+
+    mesh = get_mesh(n_devices=4)
+    sim = Simulation.from_files(PARAMS, OBST, mesh=mesh, backend="jnp",
+                                ckpt_backend="orbax")
+    sim.run(n_steps=12)
+    sim.save_checkpoint(tmp_path)
+
+    resumed = Simulation.from_files(PARAMS, OBST, mesh=mesh, backend="jnp")
+    resumed.restore_checkpoint(tmp_path)
+    f = resumed.f
+    assert isinstance(f, jax.Array)
+    assert f.sharding.spec == P(None, "y", None)
+    shards = f.addressable_shards
+    assert len(shards) == 4
+    assert all(s.data.shape == (9, 128 // 4, 128) for s in shards)
+    np.testing.assert_array_equal(np.asarray(f), np.asarray(sim.f))
+
+
 def test_cli_end_to_end(tmp_path):
     from tpulbm.cli import main
 

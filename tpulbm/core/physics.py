@@ -90,12 +90,14 @@ def collide(
     obstacle_mask: jnp.ndarray,
     omega,
     pair_symmetric: bool = False,
+    compute_speed: bool = True,
 ):
     """BGK relax on free cells, bounce-back on obstacles; also returns the
     per-cell |u| contribution (zero on obstacles).
 
     ``obstacle_mask`` is boolean with True on blocked cells. Mirrors
-    d2q9-bgk.c:649-700.
+    d2q9-bgk.c:649-700. ``compute_speed=False`` returns dens in speed's
+    place (cost-model instrumentation only — see window_step.COST_SKIP).
     """
     dens, densinv, m_x, m_y, u_sq = macroscopics(t)
     feq = equilibrium(dens, densinv, m_x, m_y, u_sq, pair_symmetric)
@@ -104,6 +106,8 @@ def collide(
     for k in range(NSPEEDS):
         relaxed = t[k] + om * (feq[k] - t[k])
         out.append(jnp.where(obstacle_mask, t[OPP[k]], relaxed))
+    if not compute_speed:
+        return out, dens
     speed = jnp.where(
         obstacle_mask, np.float32(0.0), jnp.sqrt(u_sq) * densinv
     )

@@ -114,6 +114,7 @@ def _kernel(
     slab_bottom: bool = False,
     slab_all: bool = False,
     x_narrow: bool = True,
+    collide_split: int = 1,
 ):
     # xrefs = (xlo_ref, xhi_ref, oxlo_ref, oxhi_ref) in x_halo (torus) mode:
     # (9, H, _MX) / (H, _MX) HBM refs holding K valid halo columns from the
@@ -352,7 +353,7 @@ def _kernel(
     if not slab_bottom:
         w, parts = fused_window_steps(
             w, blocked, accel_sel, k_steps, omega, w1, w2,
-            owned=owned_slc, av_mask=av_mask,
+            owned=owned_slc, av_mask=av_mask, collide_split=collide_split,
         )
         for s, part in enumerate(parts):
             @pl.when(i == 0)
@@ -409,6 +410,7 @@ def _kernel(
                 owned=owned_slc, av_mask=av_mask,
                 sub_read=sub, sub_rows=m,
                 collect=collect, collect_rows=coll_rows,
+                collide_split=collide_split,
             )
             for s, part in enumerate(parts):
                 if first:
@@ -435,6 +437,7 @@ def _kernel(
                     collect=collect, collect_rows=coll_rows,
                     owned_alt=(slice(2 * k_steps, k_steps + by),
                                owned_slc[1]),
+                    collide_split=collide_split,
                 )
                 for s, (pf, pr) in enumerate(parts):
                     @pl.when(i == 0)
@@ -483,6 +486,7 @@ def make_kstep(
     exact_bottom: Optional[bool] = None,
     exact_bottom_all: bool = False,
     x_narrow: bool = True,
+    collide_split: int = 1,
 ):
     """Returns ``(prepare, chunk)``:
 
@@ -549,7 +553,7 @@ def make_kstep(
         omega=float(omega), w1=float(accel_w1), w2=float(accel_w2),
         slots=slots, ox=ox, ow=ow, canon_ny=canon_ny, row_reuse=row_reuse,
         slab_bottom=exact_bottom, slab_all=exact_bottom_all,
-        x_narrow=x_narrow,
+        x_narrow=x_narrow, collide_split=collide_split,
     )
 
     in_specs = [

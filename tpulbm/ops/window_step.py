@@ -26,6 +26,11 @@ from tpulbm.core import physics
 # core/physics.equilibrium).
 PAIR_SYMMETRIC_DEFAULT = True
 
+# Cost-model instrumentation (scripts/ab_cost_breakdown.py ONLY): names in
+# this set skip that stage at trace time, so device-time diffs isolate each
+# stage's share. Production never touches it — physics is wrong when set.
+COST_SKIP: set = set()
+
 
 def fused_window_steps(
     w: List[jnp.ndarray],
@@ -44,6 +49,7 @@ def fused_window_steps(
     collect_rows: Optional[Tuple[int, int]] = None,
     sub_axis: int = 0,
     owned_alt: Optional[Tuple[slice, slice]] = None,
+    collide_split: int = 1,
 ):
     """Runs ``k_steps`` fused lattice steps on window values ``w`` (nine
     (H, W) planes). ``accel_sel`` selects the accelerated row's cells
@@ -70,6 +76,15 @@ def fused_window_steps(
     Returns (w_final, parts) with ``parts`` a list of ``k_steps`` float32
     scalars; with substitution active, w_final's leading margin is zeros
     (callers never read margin cells back).
+
+    ``collide_split`` chunks the (pointwise) collide along rows into that
+    many sublane-aligned pieces, capping Mosaic's peak live-vector VMEM:
+    the collide's ~dozen temporaries then live on a window fraction instead
+    of the whole window, which is what lets BY=64-class windows compile
+    (round-2 rejected BY=64 because the fused body's live set blew VMEM,
+    docs/measurements/round2.md "BY=64/128"). Physics is unchanged — the
+    collide has no cross-cell terms (all coupling is in the rolls), so
+    chunk boundaries are bitwise-invisible.
     """
     if pair_symmetric is None:
         pair_symmetric = PAIR_SYMMETRIC_DEFAULT
@@ -120,31 +135,57 @@ def fused_window_steps(
                 for c in range(NSPEEDS)
             ]
         # inflow acceleration (d2q9-bgk.c:442-478)
-        mask = (
-            accel_sel
-            & free
-            & (w[3] - w1f > zero)
-            & (w[6] - w2f > zero)
-            & (w[7] - w2f > zero)
-        )
-        dw1 = jnp.where(mask, w1f, zero)
-        dw2 = jnp.where(mask, w2f, zero)
-        w = [
-            w[0], w[1] + dw1, w[2], w[3] - dw1, w[4],
-            w[5] + dw2, w[6] - dw2, w[7] - dw2, w[8] + dw2,
-        ]
+        if "accel" not in COST_SKIP:
+            mask = (
+                accel_sel
+                & free
+                & (w[3] - w1f > zero)
+                & (w[6] - w2f > zero)
+                & (w[7] - w2f > zero)
+            )
+            dw1 = jnp.where(mask, w1f, zero)
+            dw2 = jnp.where(mask, w2f, zero)
+            w = [
+                w[0], w[1] + dw1, w[2], w[3] - dw1, w[4],
+                w[5] + dw2, w[6] - dw2, w[7] - dw2, w[8] + dw2,
+            ]
         # pull-streaming via window rotates (d2q9-bgk.c:520-540)
         t = []
         for c in range(NSPEEDS):
             v = w[c]
-            if CY[c] != 0:
-                v = pltpu.roll(v, CY[c] % wy, 0)
-            if CX[c] != 0:
-                v = pltpu.roll(v, CX[c] % wx, 1)
+            if "roll" not in COST_SKIP:
+                if CY[c] != 0:
+                    v = pltpu.roll(v, CY[c] % wy, 0)
+                if CX[c] != 0:
+                    v = pltpu.roll(v, CX[c] % wx, 1)
             if off:
                 v = cut(v)  # tile-aligned: collide skips the margin
             t.append(v)
-        out, speed = physics.collide(t, blocked_c, omega, pair_symmetric)
+        if "collide" in COST_SKIP:
+            out, speed = list(t), t[0]
+        elif collide_split > 1:
+            rows = t[0].shape[0]
+            # sublane-aligned chunk starts; last chunk absorbs the remainder
+            step8 = -(-rows // (8 * collide_split)) * 8
+            starts = list(range(0, rows, step8))
+            outs, speeds = [], []
+            for r0 in starts:
+                r1 = min(r0 + step8, rows)
+                o_c, s_c = physics.collide(
+                    [p[r0:r1] for p in t], blocked_c[r0:r1], omega,
+                    pair_symmetric,
+                    compute_speed="speed" not in COST_SKIP,
+                )
+                outs.append(o_c)
+                speeds.append(s_c)
+            out = [jnp.concatenate([o[c] for o in outs], axis=0)
+                   for c in range(NSPEEDS)]
+            speed = jnp.concatenate(speeds, axis=0)
+        else:
+            out, speed = physics.collide(
+                t, blocked_c, omega, pair_symmetric,
+                compute_speed="speed" not in COST_SKIP,
+            )
         if av_mask_c is not None:
             speed = jnp.where(av_mask_c, speed, zero)
         def part_of(slc):

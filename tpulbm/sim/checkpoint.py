@@ -73,7 +73,13 @@ def _orbax_save_async(directory, step, f, av_vels, params):
     return ckptr, path
 
 
-def _orbax_restore(path):
+def _orbax_restore(path, abstract_f=None):
+    """``abstract_f`` (a jax.ShapeDtypeStruct carrying a NamedSharding):
+    restore the distribution state SHARDED — orbax places each shard
+    directly onto its device (and, multi-host, each process reads only its
+    own shards) with no host-side full-array materialization. The rest of
+    the tree's abstract shapes come from the checkpoint's own metadata, so
+    av_vels length variance (max_iters overrides) needs no special-casing."""
     import orbax.checkpoint as ocp
     from absl import logging as absl_logging
 
@@ -82,13 +88,55 @@ def _orbax_restore(path):
     prev = absl_logging.get_verbosity()
     absl_logging.set_verbosity(absl_logging.ERROR)
     try:
-        with ocp.StandardCheckpointer() as ckptr:
-            state = ckptr.restore(os.path.abspath(path))
+        with ocp.PyTreeCheckpointer() as ckptr:
+            apath = os.path.abspath(path)
+            state = None
+            if abstract_f is not None:
+                # Per-leaf restore args: ``f`` carries a sharding, so orbax
+                # loads each shard straight onto its device (multi-host:
+                # each process reads only its own shards) with no host
+                # full-array materialization; the small leaves restore as
+                # host numpy with shapes from the checkpoint itself (so
+                # av_vels length variance needs no special-casing).
+                import jax
+
+                ra = ocp.RestoreArgs()
+                restore_args = {
+                    "step": ra,
+                    "av_vels": ra,
+                    "params": {
+                        k: ra
+                        for k in LBMParams.__dataclass_fields__
+                    },
+                    "f": ocp.ArrayRestoreArgs(
+                        restore_type=jax.Array,
+                        sharding=abstract_f.sharding,
+                        global_shape=tuple(abstract_f.shape),
+                        dtype=abstract_f.dtype,
+                    ),
+                }
+                try:
+                    state = ckptr.restore(
+                        apath,
+                        args=ocp.args.PyTreeRestore(
+                            restore_args=restore_args
+                        ),
+                    )
+                except Exception:
+                    # e.g. a checkpoint written by an older params schema —
+                    # fall back to the host-gathered path below
+                    state = None
+            if state is None:
+                abstract_f = None
+                state = ckptr.restore(apath)
     finally:
         absl_logging.set_verbosity(prev)
+    f = state["f"]
+    if abstract_f is None:
+        f = np.asarray(f, dtype=np.float32)
     return (
         int(state["step"]),
-        np.asarray(state["f"], dtype=np.float32),
+        f,
         np.asarray(state["av_vels"], dtype=np.float32),
         {k: _pyscalar(v) for k, v in state["params"].items()},
     )
@@ -166,14 +214,20 @@ def latest(directory) -> str | None:
     return best
 
 
-def restore(path_or_dir, params: LBMParams) -> Tuple[int, np.ndarray, np.ndarray]:
+def restore(
+    path_or_dir, params: LBMParams, abstract_f=None
+) -> Tuple[int, np.ndarray, np.ndarray]:
+    """``abstract_f`` (optional jax.ShapeDtypeStruct with a sharding) makes
+    an orbax restore sharding-aware — ``f`` comes back as a sharded jax
+    array placed straight onto the mesh (npz checkpoints ignore it: they are
+    host-gathered by construction)."""
     path = str(path_or_dir)
     if os.path.isdir(path) and not _ORBAX_RE.search(os.path.basename(path)):
         path = latest(path)
         if path is None:
             raise FileNotFoundError(f"no checkpoints under {path_or_dir}")
     if _ORBAX_RE.search(os.path.basename(path)):
-        step, f, av_vels, saved = _orbax_restore(path)
+        step, f, av_vels, saved = _orbax_restore(path, abstract_f=abstract_f)
     else:
         with np.load(path, allow_pickle=False) as z:
             step = int(z["step"])

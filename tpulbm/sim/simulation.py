@@ -266,8 +266,32 @@ class Simulation:
         )
 
     def restore_checkpoint(self, path_or_dir: str | os.PathLike) -> None:
-        step, f, av_vels = ckpt.restore(path_or_dir, self.params)
+        abstract_f = None
+        if (
+            len(self.mesh.axis_names) != 1
+            or self.params.ny % self.mesh.devices.size == 0
+        ):
+            # Sharding-aware orbax restore: shards land straight on the mesh
+            # (multi-host: each process reads only its own) with no host
+            # full-array materialization. npz paths ignore the target — they
+            # are host-gathered by construction. Uneven-ny 1-D meshes keep
+            # the host path (the padded runner installs sharding inside jit).
+            from tpulbm.dist.sharding import row_sharding
+
+            state_s, _ = row_sharding(self.mesh)
+            abstract_f = jax.ShapeDtypeStruct(
+                (9, self.params.ny, self.params.nx), jnp.float32,
+                sharding=state_s,
+            )
+        step, f, av_vels = ckpt.restore(
+            path_or_dir, self.params, abstract_f=abstract_f
+        )
         self.step_count = step
         self.av_vels[: av_vels.size] = av_vels[: self.av_vels.size]
-        f_arr, _ = shard_arrays(self.mesh, jnp.asarray(f), self.obstacles)
-        self.f = f_arr
+        if isinstance(f, jax.Array) and f.sharding is not None and (
+            abstract_f is not None
+        ):
+            self.f = f  # already placed by the sharded restore
+        else:
+            f_arr, _ = shard_arrays(self.mesh, jnp.asarray(f), self.obstacles)
+            self.f = f_arr
