@@ -67,10 +67,14 @@ def test_random_config_kstep2d_tier(monkeypatch):
     the fuzz covers it too."""
     import tpulbm.ops.pallas_kstep as pk
     import tpulbm.ops.pallas_kstep2d as pk2
+    import tpulbm.ops.pallas_kstep_skew as pks
+    import tpulbm.ops.pallas_kstep_skew2d as pks2
     import tpulbm.ops.pallas_resident as pr
 
     monkeypatch.setattr(pr, "supported", lambda ny, nx: False)
     monkeypatch.setattr(pk, "supported", lambda h, nx, k: False)
+    monkeypatch.setattr(pks, "supported", lambda h, nx, k: False)
+    monkeypatch.setattr(pks2, "supported", lambda h, nx, k: False)
     monkeypatch.setattr(pk2, "_WINDOW_BUDGET", 12000)  # (8,128) tiles
 
     seed, ny, nx, n_dev = 7, 64, 256, 1

@@ -1,0 +1,107 @@
+"""Skewed zero-recompute K-step kernel: differentials vs the jnp oracle.
+
+Load-bearing cases:
+- the seam contract: block 0's slab reads are garbage and its 2K seam rows
+  (values AND per-step sums) come from the fix kernel — single device the
+  splice wraps the torus, multi-device it crosses the shard ring (the
+  K-row output slab travels one shard down);
+- donor-aliased ping-pong (production default) and the plain head chunk;
+- remainder chunks fall back to the classic kstep kernel mid-runner;
+- multi-block shards (slab handoff chains through every block).
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+import tpulbm.ops.pallas_kstep_skew as pks
+from tpulbm.core.params import LBMParams
+from tpulbm.core.state import initial_state
+from tpulbm.dist.mesh import get_mesh
+from tpulbm.dist.runner import _make_skew_runner, make_runner
+from tpulbm.ops.step_jnp import run_steps
+
+
+@pytest.fixture(autouse=True)
+def _canonical_feq(monkeypatch):
+    from tpulbm.ops import window_step
+
+    monkeypatch.setattr(window_step, "PAIR_SYMMETRIC_DEFAULT", False)
+
+
+def _random_case(ny, nx, seed=3, p_block=0.1):
+    p = LBMParams(nx=nx, ny=ny, max_iters=1, reynolds_dim=10,
+                  density=0.1, accel=0.005, omega=1.85)
+    rng = np.random.RandomState(seed)
+    mask = rng.rand(ny, nx) < p_block
+    p = p.with_free_cells(ny * nx - int(mask.sum()))
+    return p, jnp.asarray(mask)
+
+
+@pytest.mark.parametrize("n,n_dev,donor", [
+    (8, 1, False),    # single chunk, plain
+    (16, 1, True),    # one ping-pong pair
+    (19, 1, True),    # odd head + remainder chunk (classic fallback)
+    (24, 2, True),    # ring: fix band and output slab cross shards
+    (24, 8, True),    # 8-shard ring (ny=512 below)
+])
+def test_skew_matches_oracle(n, n_dev, donor):
+    ny = 512 if n_dev == 8 else 128
+    p, obst = _random_case(ny, 128)
+    f_ref, av_ref = run_steps(initial_state(p), obst, p, n)
+    r = _make_skew_runner(p, n, get_mesh(n_devices=n_dev),
+                          alias_donor=donor)
+    f, av = r(initial_state(p), obst)
+    assert np.array_equal(np.asarray(f), np.asarray(f_ref))
+    np.testing.assert_allclose(np.asarray(av), np.asarray(av_ref), rtol=2e-5)
+    assert av.shape == (n,)
+
+
+def test_skew_multiblock_shard(monkeypatch):
+    """Small BY forces >= 4 blocks/shard: the slab handoff chains through
+    interior blocks and the collide_split path stays bitwise."""
+    monkeypatch.setattr(pks, "_BLOCK_BUDGET", 40 * 128)  # BY=32 at nx=128
+    p, obst = _random_case(256, 128)
+    n = 16
+    f_ref, av_ref = run_steps(initial_state(p), obst, p, n)
+    for n_dev, split in [(1, 1), (2, 2)]:
+        r = _make_skew_runner(p, n, get_mesh(n_devices=n_dev),
+                              collide_split=split)
+        f, av = r(initial_state(p), obst)
+        assert np.array_equal(np.asarray(f), np.asarray(f_ref)), n_dev
+        np.testing.assert_allclose(np.asarray(av), np.asarray(av_ref),
+                                   rtol=2e-5)
+
+
+def test_skew_accel_row_in_seam_band():
+    """The accelerated row (ny-2) sits inside the shard-top/seam region for
+    the LAST shard — the fix band and the sliding accel selection must agree
+    there (ny=128, 4 shards -> h=32 unsupported; use 2 shards)."""
+    p, obst = _random_case(128, 256, seed=11)
+    n = 16
+    f_ref, av_ref = run_steps(initial_state(p), obst, p, n)
+    r = _make_skew_runner(p, n, get_mesh(n_devices=2))
+    f, av = r(initial_state(p), obst)
+    assert np.array_equal(np.asarray(f), np.asarray(f_ref))
+    np.testing.assert_allclose(np.asarray(av), np.asarray(av_ref), rtol=2e-5)
+
+
+def test_supported_predicate():
+    assert pks.supported(128, 128, 8)
+    assert pks.supported(1024, 1024, 8)
+    assert not pks.supported(128, 128, 4)   # skew requires K == 8 (alignment)
+    assert not pks.supported(32, 128, 8)    # no BY >= 24 with 2 blocks
+    assert not pks.supported(128, 100, 8)   # lane misaligned
+
+
+def test_runner_routes_to_skew():
+    """make_runner's pallas tier picks the skew kernel for shapes it
+    supports (and the result still matches the oracle)."""
+    p, obst = _random_case(256, 128)
+    n = 10
+    f_ref, av_ref = run_steps(initial_state(p), obst, p, n)
+    runner = make_runner(p, n, mesh=get_mesh(n_devices=2), backend="pallas")
+    f, av = runner(initial_state(p), obst)
+    assert np.array_equal(np.asarray(f), np.asarray(f_ref))
+    np.testing.assert_allclose(np.asarray(av), np.asarray(av_ref), rtol=2e-5)

@@ -1,8 +1,8 @@
 """Backend tier selection in make_runner.
 
-The perf tiering (resident -> kstep -> kstep2d -> stream -> jnp) is pure
-logic; these tests pin which tier each configuration routes to, and that the
-'auto'/'pallas'/'jnp' requests and error paths behave."""
+The perf tiering (resident -> skew -> skew2d -> kstep -> kstep2d -> stream
+-> jnp) is pure logic; these tests pin which tier each configuration routes
+to, and that the 'auto'/'pallas'/'jnp' requests and error paths behave."""
 
 import jax.numpy as jnp
 import numpy as np
@@ -11,7 +11,16 @@ import pytest
 from tpulbm.core.params import LBMParams
 from tpulbm.dist import runner as runner_mod
 from tpulbm.dist.mesh import get_mesh
-from tpulbm.ops import pallas_kstep, pallas_kstep2d, pallas_resident
+from tpulbm.ops import (pallas_kstep, pallas_kstep2d, pallas_kstep_skew,
+                        pallas_kstep_skew2d, pallas_resident)
+
+
+def _no_skew(monkeypatch):
+    """Disable both skew tiers to pin the classic tier order below them."""
+    monkeypatch.setattr(pallas_kstep_skew, "supported",
+                        lambda h, nx, k: False)
+    monkeypatch.setattr(pallas_kstep_skew2d, "supported",
+                        lambda h, nx, k: False)
 
 
 def _params(nx=128, ny=128):
@@ -37,6 +46,10 @@ def _spy(monkeypatch):
         runner_mod, "_make_kstep_runner",
         wrap("kstep", runner_mod._make_kstep_runner),
     )
+    monkeypatch.setattr(
+        runner_mod, "_make_skew_runner",
+        wrap("skew", runner_mod._make_skew_runner),
+    )
     return calls
 
 
@@ -54,9 +67,16 @@ def test_multi_device_uses_kstep(monkeypatch):
     assert calls == {"kstep": 1}
 
 
-def test_large_grid_routes_to_kstep(monkeypatch):
+def test_large_grid_routes_to_skew_then_kstep(monkeypatch):
     calls = _spy(monkeypatch)
     monkeypatch.setattr(pallas_resident, "supported", lambda ny, nx: False)
+    runner_mod.make_runner(_params(), 8, get_mesh(n_devices=1),
+                           backend="pallas")
+    assert calls == {"skew": 1}
+
+    # skew tiers gated off -> classic kstep
+    calls.clear()
+    _no_skew(monkeypatch)
     runner_mod.make_runner(_params(), 8, get_mesh(n_devices=1),
                            backend="pallas")
     assert calls == {"kstep": 1}
@@ -71,6 +91,7 @@ def test_wide_grid_routes_to_kstep2d_then_bands(monkeypatch):
     calls = _spy(monkeypatch)
     monkeypatch.setattr(pallas_resident, "supported", lambda ny, nx: False)
     monkeypatch.setattr(pallas_kstep, "supported", lambda h, nx, k: False)
+    _no_skew(monkeypatch)
     makers = []
     orig = runner_mod._make_kstep_runner
 

@@ -399,6 +399,190 @@ def _make_kstep_runner(
     return runner
 
 
+def _make_skew_runner(
+    params: LBMParams,
+    n_steps: int,
+    mesh: Mesh,
+    axis_name: str = AXIS,
+    alias_donor: bool = True,
+    by: int | None = None,
+    collide_split: int = 1,
+    maker=None,
+    tile=None,
+):
+    """Runner over the skewed zero-recompute K-step kernel
+    (ops/pallas_kstep_skew.py). Per K-step chunk: the main kernel advances
+    every row block with compute/owned ratio 1.0 (the parallelogram skew),
+    then the 4K-row seam fix kernel recomputes the torus/shard seam band
+    from the chunk's input and splices its values into rows [0, K) locally
+    and rows [H-K, H) of the ring neighbour below (the skew shifts each
+    block's output down K rows, so the shard-top rows are produced across
+    the seam). Collective count per chunk matches the classic runner: one
+    2K-row slab forward (fix band input) + one K-row slab backward (fix
+    output), plus the single deferred post-loop psum of the |u| series.
+    """
+    from tpulbm.ops import pallas_kstep, pallas_kstep_skew as pks
+
+    n_dev = mesh.devices.size
+    h = params.ny // n_dev
+    k = pks.SKEW_K
+    ny = params.ny
+    n_outer, rem = divmod(n_steps, k)
+    if maker is None:
+        mk = functools.partial(
+            pks.make_skew,
+            h, params.nx, k, ny_global=ny, omega=params.omega,
+            accel_w1=params.accel_w1, accel_w2=params.accel_w2,
+            by=by, collide_split=collide_split,
+        )
+    else:
+        # 2-D tiled skew (wide grids): same chunk/fix/runner contract
+        mk = functools.partial(
+            maker,
+            h, params.nx, k, ny_global=ny, omega=params.omega,
+            accel_w1=params.accel_w1, accel_w2=params.accel_w2,
+            tile=tile, collide_split=collide_split,
+        )
+    if alias_donor:
+        prepare, chunk_k = mk(alias_donor=True)
+        _, chunk_plain = mk()
+    else:
+        prepare, chunk_k = mk()
+        chunk_plain = chunk_k
+    chunk_fix = pks.make_skew_fix(
+        params.nx, ny, params.omega, params.accel_w1, params.accel_w2, k,
+        collide_split=max(1, params.nx // 1024),
+    )
+    chunk_r = None
+    if rem:
+        # classic fallback kernel for the sub-K tail: 1-D where it fits,
+        # 2-D column tiling on wide grids
+        from tpulbm.ops import pallas_kstep2d
+
+        rem_kw = dict(
+            ny_global=ny, omega=params.omega,
+            accel_w1=params.accel_w1, accel_w2=params.accel_w2,
+        )
+        if pallas_kstep.supported(h, params.nx, rem):
+            chunk_r = pallas_kstep.make_kstep(
+                h, params.nx, k_steps=rem, **rem_kw)[1]
+        elif pallas_kstep2d.supported(h, params.nx, rem):
+            chunk_r = pallas_kstep2d.make_kstep2d(
+                h, params.nx, k_steps=rem, **rem_kw)[1]
+        else:
+            raise ValueError(
+                f"skew runner: no remainder kernel for local shape "
+                f"({h}, {params.nx}), rem={rem}"
+            )
+    free_inv = jnp.float32(params.free_cells_inv)
+    accel_glob = params.accel_row
+
+    def run_local(f, obst_bool, shard_off, lo2, lo3, send_down, psl2, psl3):
+        """lo2/lo3(x, w): the w rows globally BELOW the shard (2-D / 3-D);
+        send_down(x): deliver x to the ring neighbour below, returning what
+        arrived from above; psl2/psl3: full (lo, hi) slabs (remainder-chunk
+        classic kernel only)."""
+        scal = jnp.stack([jnp.int32(accel_glob), shard_off]).reshape(1, 2)
+        scal_fix = jnp.stack([
+            jnp.int32(accel_glob),
+            jnp.mod(shard_off - 2 * k, ny).astype(jnp.int32),
+        ]).reshape(1, 2)
+        obst_f = obst_bool.astype(jnp.float32)
+        oband = jnp.concatenate([lo2(obst_f, 2 * k), obst_f[: 2 * k]], axis=0)
+
+        def do_chunk(g, donor, av_scale=True):
+            band = jnp.concatenate([lo3(g, 2 * k), g[:, : 2 * k, :]], axis=1)
+            if donor is None:
+                g2, av = chunk_plain(g, obst_f, scal)
+            else:
+                g2, av = chunk_k(g, obst_f, scal, donor)
+            vals, av_f = chunk_fix(band, oband, scal_fix)
+            g2 = jax.lax.dynamic_update_slice(
+                g2, vals[:, k:, :], (0, 0, 0))
+            top = send_down(vals[:, :k, :])
+            g2 = jax.lax.dynamic_update_slice(g2, top, (0, h - k, 0))
+            return g2, av + av_f
+
+        if alias_donor:
+            n_pairs, odd = divmod(n_outer, 2)
+            av_head = None
+            f_out = f
+            if odd:
+                f_out, av0 = do_chunk(f, None)
+                av_head = av0 * free_inv
+
+            def body(carry, _):
+                g, scratch = carry
+                t1, av1 = do_chunk(g, scratch)
+                t2, av2 = do_chunk(t1, g)
+                return (t2, t1), jnp.concatenate([av1, av2]) * free_inv
+
+            (f_out, _), avs = jax.lax.scan(
+                body, (f_out, jnp.zeros_like(f)), None, length=n_pairs
+            )
+            av = avs.reshape(-1)
+            if av_head is not None:
+                av = jnp.concatenate([av_head, av])
+        else:
+            def body(g, _):
+                g2, av_c = do_chunk(g, None)
+                return g2, av_c * free_inv
+
+            f_out, avs = jax.lax.scan(body, f, None, length=n_outer)
+            av = avs.reshape(-1)
+        if chunk_r is not None:
+            hlo, hhi = psl3(f_out, rem)
+            olo, ohi = psl2(obst_f, rem)
+            f_out, av_r = chunk_r(
+                f_out, hlo, hhi, (obst_f, olo, ohi), scal
+            )
+            av = jnp.concatenate([av, av_r * free_inv])
+        return f_out, av
+
+    if n_dev == 1:
+        @functools.partial(jax.jit, donate_argnums=0)
+        def runner_single(f, obstacles):
+            return run_local(
+                f, obstacles, jnp.int32(0),
+                lambda x, w: x[ny - w : ny],
+                lambda g, w: g[:, ny - w : ny, :],
+                lambda x: x,
+                lambda x, w: (x[ny - w : ny], x[:w]),
+                lambda g, w: (g[:, ny - w : ny, :], g[:, :w, :]),
+            )
+
+        return runner_single
+
+    ring_slab2, ring_slab3 = _ring_slabs(n_dev, axis_name)
+    perm_fwd = [(i, (i + 1) % n_dev) for i in range(n_dev)]
+    perm_bwd = [(i, (i - 1) % n_dev) for i in range(n_dev)]
+
+    def body(f_loc, obst_loc):
+        d = jax.lax.axis_index(axis_name)
+        f_out, av = run_local(
+            f_loc, obst_loc, (d * h).astype(jnp.int32),
+            lambda x, w: jax.lax.ppermute(x[-w:], axis_name, perm_fwd),
+            lambda g, w: jax.lax.ppermute(g[:, -w:, :], axis_name, perm_fwd),
+            lambda x: jax.lax.ppermute(x, axis_name, perm_bwd),
+            ring_slab2, ring_slab3,
+        )
+        return f_out, jax.lax.psum(av, axis_name)
+
+    sharded = jax.shard_map(
+        body,
+        mesh=mesh,
+        in_specs=(P(None, axis_name, None), P(axis_name, None)),
+        out_specs=(P(None, axis_name, None), P()),
+        check_vma=False,
+    )
+
+    @functools.partial(jax.jit, donate_argnums=0)
+    def runner(f, obstacles):
+        return sharded(f, obstacles)
+
+    return runner
+
+
 def _make_kstep_bands_runner(
     params: LBMParams,
     n_steps: int,
@@ -1221,6 +1405,31 @@ def make_runner(
             # per kernel call — zero HBM traffic per step.
             return _make_resident_runner(params, n_steps)
         k = min(pallas_kstep.MAX_K, n_steps)
+        from tpulbm.ops import pallas_kstep2d as _pk2d_gate
+        from tpulbm.ops import pallas_kstep_skew
+
+        rem_steps = n_steps % pallas_kstep_skew.SKEW_K
+        skew_rem_ok = (
+            rem_steps == 0
+            or pallas_kstep.supported(rows_local, params.nx, rem_steps)
+            or _pk2d_gate.supported(rows_local, params.nx, rem_steps)
+        )
+        if (n_steps >= pallas_kstep_skew.SKEW_K and skew_rem_ok
+                and pallas_kstep_skew.supported(
+                    rows_local, params.nx, pallas_kstep_skew.SKEW_K)):
+            # Skewed parallelogram schedule: zero margin recompute
+            # (compute/owned ratio 1.0 in y) — fastest 1-D tier measured.
+            return _make_skew_runner(params, n_steps, mesh, axis_name)
+        from tpulbm.ops import pallas_kstep_skew2d
+
+        if (n_steps >= pallas_kstep_skew.SKEW_K and skew_rem_ok
+                and pallas_kstep_skew2d.supported(
+                    rows_local, params.nx, pallas_kstep_skew.SKEW_K)):
+            # Wide grids: 2-D tiled skew (y ratio 1.0, x narrow compute).
+            return _make_skew_runner(
+                params, n_steps, mesh, axis_name,
+                maker=pallas_kstep_skew2d.make_skew2d,
+            )
         if pallas_kstep.supported(rows_local, params.nx, k):
             return _make_kstep_runner(
                 params, n_steps, mesh, k, axis_name, alias_donor=True,

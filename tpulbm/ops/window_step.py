@@ -32,6 +32,26 @@ PAIR_SYMMETRIC_DEFAULT = True
 COST_SKIP: set = set()
 
 
+def accel_update(w: List[jnp.ndarray], sel_free: jnp.ndarray,
+                 w1f: np.float32, w2f: np.float32) -> List[jnp.ndarray]:
+    """Masked inflow acceleration (d2q9-bgk.c:442-478) on nine window planes.
+    ``sel_free`` pre-combines the accelerated-row selection with the free
+    mask; the positivity knife-edge guard is applied here."""
+    zero = np.float32(0.0)
+    mask = (
+        sel_free
+        & (w[3] - w1f > zero)
+        & (w[6] - w2f > zero)
+        & (w[7] - w2f > zero)
+    )
+    dw1 = jnp.where(mask, w1f, zero)
+    dw2 = jnp.where(mask, w2f, zero)
+    return [
+        w[0], w[1] + dw1, w[2], w[3] - dw1, w[4],
+        w[5] + dw2, w[6] - dw2, w[7] - dw2, w[8] + dw2,
+    ]
+
+
 def fused_window_steps(
     w: List[jnp.ndarray],
     blocked: jnp.ndarray,
@@ -50,6 +70,7 @@ def fused_window_steps(
     sub_axis: int = 0,
     owned_alt: Optional[Tuple[slice, slice]] = None,
     collide_split: int = 1,
+    owned_step_dy: int = 0,
 ):
     """Runs ``k_steps`` fused lattice steps on window values ``w`` (nine
     (H, W) planes). ``accel_sel`` selects the accelerated row's cells
@@ -85,6 +106,11 @@ def fused_window_steps(
     docs/measurements/round2.md "BY=64/128"). Physics is unchanged — the
     collide has no cross-cell terms (all coupling is in the rolls), so
     chunk boundaries are bitwise-invisible.
+
+    ``owned_step_dy``: per-step row slide of the owned sum slice — at step
+    ``s`` the owned rows become ``[start + s*dy, stop + s*dy)``. Used by the
+    skew-fix kernel (ops/pallas_kstep_skew.py), whose sum coverage tracks
+    the skewed main kernel's sliding valid region.
     """
     if pair_symmetric is None:
         pair_symmetric = PAIR_SYMMETRIC_DEFAULT
@@ -136,19 +162,7 @@ def fused_window_steps(
             ]
         # inflow acceleration (d2q9-bgk.c:442-478)
         if "accel" not in COST_SKIP:
-            mask = (
-                accel_sel
-                & free
-                & (w[3] - w1f > zero)
-                & (w[6] - w2f > zero)
-                & (w[7] - w2f > zero)
-            )
-            dw1 = jnp.where(mask, w1f, zero)
-            dw2 = jnp.where(mask, w2f, zero)
-            w = [
-                w[0], w[1] + dw1, w[2], w[3] - dw1, w[4],
-                w[5] + dw2, w[6] - dw2, w[7] - dw2, w[8] + dw2,
-            ]
+            w = accel_update(w, accel_sel & free, w1f, w2f)
         # pull-streaming via window rotates (d2q9-bgk.c:520-540)
         t = []
         for c in range(NSPEEDS):
@@ -194,6 +208,9 @@ def fused_window_steps(
                 o_r = slice(o_r.start - off, o_r.stop - off)
             elif off and sub_axis == 1:
                 o_c = slice(o_c.start - off, o_c.stop - off)
+            if owned_step_dy:
+                o_r = slice(o_r.start + s * owned_step_dy,
+                            o_r.stop + s * owned_step_dy)
             return jnp.sum(speed[o_r, o_c], dtype=jnp.float32)
 
         parts.append(
