@@ -109,6 +109,7 @@ def _kernel(
     ox: int = 0,
     ow: int = 0,
     canon_ny: int = 0,
+    canon_nx: int = 0,
     xrefs=None,
     row_reuse: bool = False,
     slab_bottom: bool = False,
@@ -350,10 +351,13 @@ def _kernel(
     # -- K fused steps, constant window shape (see ops.window_step) ---------
     owned_slc = (slice(k_steps, k_steps + by), slice(ox, ox + ow))
 
+    x_canon = canon_nx or None
+
     if not slab_bottom:
         w, parts = fused_window_steps(
             w, blocked, accel_sel, k_steps, omega, w1, w2,
             owned=owned_slc, av_mask=av_mask, collide_split=collide_split,
+            x_canon=x_canon,
         )
         for s, part in enumerate(parts):
             @pl.when(i == 0)
@@ -410,7 +414,7 @@ def _kernel(
                 owned=owned_slc, av_mask=av_mask,
                 sub_read=sub, sub_rows=m,
                 collect=collect, collect_rows=coll_rows,
-                collide_split=collide_split,
+                collide_split=collide_split, x_canon=x_canon,
             )
             for s, part in enumerate(parts):
                 if first:
@@ -437,7 +441,7 @@ def _kernel(
                     collect=collect, collect_rows=coll_rows,
                     owned_alt=(slice(2 * k_steps, k_steps + by),
                                owned_slc[1]),
-                    collide_split=collide_split,
+                    collide_split=collide_split, x_canon=x_canon,
                 )
                 for s, (pf, pr) in enumerate(parts):
                     @pl.when(i == 0)
@@ -481,6 +485,7 @@ def make_kstep(
     alias_donor: bool = False,
     owned_cols: Optional[tuple] = None,
     canon_ny: int = 0,
+    canon_nx: int = 0,
     x_halo: bool = False,
     row_reuse: Optional[bool] = None,
     exact_bottom: Optional[bool] = None,
@@ -518,6 +523,9 @@ def make_kstep(
     """
     if x_halo and (alias_donor or owned_cols is not None):
         raise ValueError("x_halo is incompatible with alias_donor/owned_cols")
+    if canon_nx and x_halo:
+        raise ValueError("canon_nx (periodic x-extension) is incompatible "
+                         "with x_halo (torus column sharding)")
     wx = nx + 2 * _MX if x_halo else nx
     if by is None:
         by = pick_block_rows(h, nx, wx=wx)
@@ -551,7 +559,8 @@ def make_kstep(
     kernel = functools.partial(
         _kernel, by=by, nx=nx, h=h, k_steps=k_steps, ny_global=ny_global,
         omega=float(omega), w1=float(accel_w1), w2=float(accel_w2),
-        slots=slots, ox=ox, ow=ow, canon_ny=canon_ny, row_reuse=row_reuse,
+        slots=slots, ox=ox, ow=ow, canon_ny=canon_ny, canon_nx=canon_nx,
+        row_reuse=row_reuse,
         slab_bottom=exact_bottom, slab_all=exact_bottom_all,
         x_narrow=x_narrow, collide_split=collide_split,
     )

@@ -24,15 +24,18 @@ same reason (one cheap sublane roll of one plane replaces two relayouts).
 Seam handling: block 0 has no previous block in this chunk — its slab reads
 are garbage, contaminating the 2K global rows [-K, K) around the torus seam
 (values AND |u| sums; its per-step sums use a reduced static slice that
-skips them). A small classic fix kernel (``make_skew_fix``) recomputes the
-4K-row seam band from the chunk's input state and supplies the missing
-values and per-step sums — the same caller contract as the classic kernel's
-``exact_bottom_all`` mode (dist/runner.py), extended to 2K rows. Because a
-block's output rows are ``[i*BY - K, (i+1)*BY - K)``, the shard's top K rows
-are produced by the NEXT shard's fix pass and arrive via one K-row ppermute
-(the skew turns the halo exchange itself into the output exchange; total
-collective count per chunk is unchanged: one 2K-row slab up, one K-row slab
-down).
+skips them). The seam band is recomputed classically from the chunk's input
+state — by default FUSED into this kernel as one extra trailing grid
+program (``fused_fix``: the band DMAs start at program 0 and overlap the
+whole pipeline, the recompute adds ~1 block of VPU work, and its values DMA
+straight into the output — no second pallas_call, band concat, or splices;
+measured +0.15 us/step vs the split pair at 1024^2), or by the standalone
+``make_skew_fix`` kernel with the same contract (the split path kept for
+the 2-D tiled skew and A/B). Because a block's output rows are
+``[i*BY - K, (i+1)*BY - K)``, the shard's top K rows are produced by the
+NEXT shard's fix pass and arrive via one K-row ppermute (the skew turns the
+halo exchange itself into the output exchange; total collective count per
+chunk is unchanged: one 2K-row slab up, one K-row slab down).
 
 Reference parity: this fuses accelerate_flow + propagate + collision +
 av_velocity (d2q9-bgk.c:442-704) exactly like the classic kernel — the skew
@@ -85,9 +88,10 @@ def supported(h: int, nx: int, k: int) -> bool:
 def _kernel(
     f_ref,        # (9, H, nx) HBM (pre-chunk state; rows [i*BY, (i+1)*BY) read)
     obst_ref,     # (H, nx) HBM float32 mask (1.0 = blocked)
-    scal_ref,     # (1, 2) SMEM int32: [global accel row, shard row offset]
-    out_ref,      # (9, H, nx) HBM; rows [H-K, H) are NOT written (caller's
-                  # seam splice covers them)
+    scal_ref,     # (1, 2|3) SMEM int32: [global accel row, shard row offset,
+                  # (fused_fix) fix-band base row]
+    out_ref,      # (9, H, nx) HBM; rows [H-K, H) are NOT written unless
+                  # ``top_local`` (caller's seam splice covers them otherwise)
     av_ref,       # (K, 1) SMEM per-step |u| sums
     fbuf,         # (slots, 9, BY+8, nx) VMEM: valid rows at [8, 8+BY)
     obuf,         # (slots, BY+8, nx) VMEM: obstacle rows [i*BY-8, (i+1)*BY)
@@ -95,6 +99,14 @@ def _kernel(
     slab,         # (K*9*2, nx) VMEM: two post-accel rows per (state, channel)
     sem_f, sem_o, sem_out,  # DMA semaphores, (slots,) each
     acc,          # (K, 1) SMEM accumulator
+    band_lo_ref=None,   # fused_fix, multi-dev: (9, 2K, nx) rows below shard
+    oband_ref=None,     # fused_fix: (4K, nx) f32 seam-band obstacle mask
+    top_ref=None,       # fused_fix, multi-dev: (9, K, nx) output for the
+                        # backward ppermute (this shard's rows [-K, 0))
+    band=None,          # fused_fix: (9, 4K, nx) VMEM seam-band state
+    obandv=None,        # fused_fix: (4K, nx) VMEM
+    fstage=None,        # fused_fix: (9, 2K, nx) VMEM fix output staging
+    sem_band=None,      # fused_fix: DMA semaphore
     *,
     by: int,
     nx: int,
@@ -106,10 +118,16 @@ def _kernel(
     w2: float,
     slots: int = 2,
     collide_split: int = 1,
+    fused_fix: bool = False,
+    self_band: bool = False,
+    top_local: bool = False,
+    fix_collide_split: int = 1,
+    canon_nx: int = 0,
 ):
     k = k_steps
     i = pl.program_id(0)
     n = pl.num_programs(0)
+    nb = n - 1 if fused_fix else n  # main row blocks; program nb = fix pass
     slot = jax.lax.rem(i, slots)
     nslot = jax.lax.rem(i + 1, slots)
     zero = np.float32(0.0)
@@ -162,15 +180,32 @@ def _kernel(
                     sem_o.at[s],
                 ).wait()
 
+    if fused_fix:
+        # seam-band DMAs: started at program 0, waited by the fix program —
+        # the band is the CHUNK INPUT state (f_ref is never written), so the
+        # copies overlap the entire main pipeline
+        def band_copies():
+            lo_src = (f_ref.at[:, pl.ds(h - 2 * k, 2 * k), :]
+                      if self_band else band_lo_ref)
+            return [
+                pltpu.make_async_copy(
+                    lo_src, band.at[:, pl.ds(0, 2 * k), :], sem_band),
+                pltpu.make_async_copy(
+                    f_ref.at[:, pl.ds(0, 2 * k), :],
+                    band.at[:, pl.ds(2 * k, 2 * k), :], sem_band),
+                pltpu.make_async_copy(oband_ref, obandv, sem_band),
+            ]
+
     @pl.when(i == 0)
     def _():
         start_dmas(jnp.int32(0), 0)
+        if fused_fix:
+            for c in band_copies():
+                c.start()
 
-    @pl.when(i + 1 < n)
+    @pl.when(i + 1 < nb)
     def _():
         start_dmas(i + 1, nslot)
-
-    wait_dmas(i, slot)
 
     # -- output staging DMA bookkeeping --------------------------------------
     # Double-buffered: block i waits the copy issued two blocks ago
@@ -205,86 +240,173 @@ def _kernel(
             out_wait(i - slots, slot)
 
     # -- the K skewed steps --------------------------------------------------
-    w = [fbuf[slot, c, _PAD : _PAD + by, :] for c in range(NSPEEDS)]
-    o_win = obuf[slot]  # (BY+8, nx); rolled +1/step to track the slide
     a_glob = scal_ref[0, 0]
     shard_off = scal_ref[0, 1]
-    base = shard_off + i * by  # global row of w[0] at state 0
-    row_ids = jax.lax.broadcasted_iota(jnp.int32, (by, nx), 0)
-    junk6 = jnp.zeros((_PAD - 2, nx), jnp.float32)
 
-    for s in range(k):
-        # previous block's slab rows for state s (post-accel) — read BEFORE
-        # this block overwrites the slot with its own
-        subs = [slab[pl.ds((s * NSPEEDS + c) * 2, 2), :]
-                for c in range(NSPEEDS)]
-        # inflow acceleration on the valid rows (global [base-s, base-s+by))
-        free_v = o_win[_PAD : _PAD + by, :] == zero
-        a_off = jax.lax.rem(
-            a_glob - (base - s) + 2 * ny_global, ny_global)
-        sel_free = (row_ids == a_off) & free_v
-        w = window_step.accel_update(w, sel_free, w1f, w2f)
-        # hand our top-2 post-accel rows to the next block at this state
-        for c in range(NSPEEDS):
-            slab[pl.ds((s * NSPEEDS + c) * 2, 2), :] = w[c][by - 2 : by, :]
-        # skewed pull: roll by 1 + CY keeps the valid region at rows
-        # [8, 8+BY) while the represented global rows slide down by one
-        t = []
-        for c in range(NSPEEDS):
-            v = jnp.concatenate([junk6, subs[c], w[c]], axis=0)
-            r = (1 + CY[c]) % (by + _PAD)
-            if r:
-                v = pltpu.roll(v, r, 0)
-            v = v[_PAD : _PAD + by, :]
-            if CX[c] != 0:
-                # lane roll after the row slice: by rows instead of by+8
-                v = pltpu.roll(v, CX[c] % nx, 1)
-            t.append(v)
-        o_win = pltpu.roll(o_win, 1, 0)
-        blocked_c = o_win[_PAD : _PAD + by, :] != zero
-        if collide_split > 1:
-            # sublane-aligned row chunks cap Mosaic's live-vector VMEM
-            # (same trick as window_step; pointwise => bitwise-invisible)
-            step8 = -(-by // (8 * collide_split)) * 8
-            outs, speeds = [], []
-            for r0 in range(0, by, step8):
-                r1 = min(r0 + step8, by)
-                o_c, s_c = physics.collide(
-                    [p[r0:r1] for p in t], blocked_c[r0:r1], omega,
-                    pair_symmetric,
-                )
-                outs.append(o_c)
-                speeds.append(s_c)
-            w = [jnp.concatenate([o[c] for o in outs], axis=0)
-                 for c in range(NSPEEDS)]
-            speed = jnp.concatenate(speeds, axis=0)
-        else:
-            w, speed = physics.collide(t, blocked_c, omega, pair_symmetric)
-        part_full = jnp.sum(speed, dtype=jnp.float32)
-        part_red = jnp.sum(speed[2 * k :, :], dtype=jnp.float32)
+    def main_block():
+        wait_dmas(i, slot)
+        w = [fbuf[slot, c, _PAD : _PAD + by, :] for c in range(NSPEEDS)]
+        o_win = obuf[slot]  # (BY+8, nx); rolled +1/step to track the slide
+        base = shard_off + i * by  # global row of w[0] at state 0
+        row_ids = jax.lax.broadcasted_iota(jnp.int32, (by, nx), 0)
+        junk6 = jnp.zeros((_PAD - 2, nx), jnp.float32)
+        cmask = None
+        if canon_nx and canon_nx != nx:
+            # periodic x-extension: mirror columns evolve bitwise like
+            # their canonicals (window_step.x_wrap_patch) but are excluded
+            # from the |u| series
+            cmask = jax.lax.broadcasted_iota(
+                jnp.int32, (by, nx), 1) < canon_nx
 
-        @pl.when(i == 0)
-        def _(s=s, part_red=part_red):
-            acc[s, 0] = part_red
-
-        @pl.when(i > 0)
-        def _(s=s, part_full=part_full):
-            acc[s, 0] += part_full
-
-    for c in range(NSPEEDS):
-        vstage[slot, c] = w[c]
-    for pred, c in out_copy(i, slot):
-        @pl.when(pred)
-        def _(c=c):
-            c.start()
-
-    @pl.when(i == n - 1)
-    def _():
-        if n >= 2:
-            out_wait(i - 1, nslot)
-        out_wait(i, slot)
+        skip = window_step.COST_SKIP  # instrumentation only (trace-time)
         for s in range(k):
-            av_ref[s, 0] = acc[s, 0]
+            # previous block's slab rows for state s (post-accel) — read
+            # BEFORE this block overwrites the slot with its own
+            subs = [slab[pl.ds((s * NSPEEDS + c) * 2, 2), :]
+                    for c in range(NSPEEDS)]
+            # inflow acceleration on valid rows (global [base-s, base-s+by))
+            if "accel" not in skip:
+                free_v = o_win[_PAD : _PAD + by, :] == zero
+                a_off = jax.lax.rem(
+                    a_glob - (base - s) + 2 * ny_global, ny_global)
+                sel_free = (row_ids == a_off) & free_v
+                w = window_step.accel_update(w, sel_free, w1f, w2f)
+            # hand our top-2 post-accel rows to the next block at this state
+            if "sub" not in skip:
+                for c in range(NSPEEDS):
+                    slab[pl.ds((s * NSPEEDS + c) * 2, 2), :] = \
+                        w[c][by - 2 : by, :]
+            # skewed pull: roll by 1 + CY keeps the valid region at rows
+            # [8, 8+BY) while the represented global rows slide down by one.
+            # (A roll(BY)+row-select formulation without the concat was
+            # measured 0.6 us/step SLOWER at 1024^2 — Mosaic fuses the
+            # concat+roll+slice chain better than two whole-window selects.)
+            t = []
+            for c in range(NSPEEDS):
+                sc = subs[c] if "sub" not in skip else w[c][:2]
+                v = jnp.concatenate([junk6, sc, w[c]], axis=0)
+                if "roll" not in skip:
+                    r = (1 + CY[c]) % (by + _PAD)
+                    if r:
+                        v = pltpu.roll(v, r, 0)
+                    v = v[_PAD : _PAD + by, :]
+                    if CX[c] != 0:
+                        # lane roll after the row slice: by rows, not by+8
+                        v_pre = v
+                        v = pltpu.roll(v, CX[c] % nx, 1)
+                        if canon_nx and canon_nx != nx:
+                            v = window_step.x_wrap_patch(
+                                v, v_pre, CX[c], canon_nx)
+                else:
+                    v = v[_PAD : _PAD + by, :]
+                t.append(v)
+            o_win = pltpu.roll(o_win, 1, 0)
+            blocked_c = o_win[_PAD : _PAD + by, :] != zero
+            if "collide" in skip:
+                w, speed = list(t), t[0]
+            elif collide_split > 1:
+                # sublane-aligned row chunks cap Mosaic's live-vector VMEM
+                # (same trick as window_step; pointwise => bitwise-invisible)
+                step8 = -(-by // (8 * collide_split)) * 8
+                outs, speeds = [], []
+                for r0 in range(0, by, step8):
+                    r1 = min(r0 + step8, by)
+                    o_c, s_c = physics.collide(
+                        [p[r0:r1] for p in t], blocked_c[r0:r1], omega,
+                        pair_symmetric,
+                    )
+                    outs.append(o_c)
+                    speeds.append(s_c)
+                w = [jnp.concatenate([o[c] for o in outs], axis=0)
+                     for c in range(NSPEEDS)]
+                speed = jnp.concatenate(speeds, axis=0)
+            else:
+                w, speed = physics.collide(t, blocked_c, omega,
+                                           pair_symmetric)
+            if cmask is not None:
+                speed = jnp.where(cmask, speed, zero)
+            # both sums unconditionally: gating the reductions under pl.when
+            # (one per block) measured +4.4 us/step at 1024^2 — Mosaic
+            # serializes the predicated reduce against the pipeline
+            part_full = jnp.sum(speed, dtype=jnp.float32)
+            part_red = jnp.sum(speed[2 * k :, :], dtype=jnp.float32)
+
+            @pl.when(i == 0)
+            def _(s=s, part_red=part_red):
+                acc[s, 0] = part_red
+
+            @pl.when(i > 0)
+            def _(s=s, part_full=part_full):
+                acc[s, 0] += part_full
+
+        for c in range(NSPEEDS):
+            vstage[slot, c] = w[c]
+        for pred, c in out_copy(i, slot):
+            @pl.when(pred)
+            def _(c=c):
+                c.start()
+
+    if not fused_fix:
+        main_block()
+
+        @pl.when(i == n - 1)
+        def _():
+            if n >= 2:
+                out_wait(i - 1, nslot)
+            out_wait(i, slot)
+            for s in range(k):
+                av_ref[s, 0] = acc[s, 0]
+    else:
+        @pl.when(i < nb)
+        def _():
+            main_block()
+
+        @pl.when(i == nb)
+        def _():
+            for c in band_copies():
+                c.wait()
+            # classic (unskewed) recompute of the 4K-row seam band: global
+            # rows [off-2K, off+2K) of the chunk-input state
+            wf = [band[c] for c in range(NSPEEDS)]
+            blockedf = obandv[:] != zero
+            fix_base = scal_ref[0, 2]
+            rf = jax.lax.broadcasted_iota(jnp.int32, (4 * k, nx), 0)
+            a_off_f = jax.lax.rem(
+                a_glob - fix_base + 2 * ny_global, ny_global)
+            accel_sel = jax.lax.rem(
+                rf - a_off_f + 2 * ny_global, ny_global) == 0
+            wf, parts = window_step.fused_window_steps(
+                wf, blockedf, accel_sel, k, omega, w1, w2,
+                owned=(slice(2 * k - 1, 4 * k - 1), slice(0, nx)),
+                owned_step_dy=-1, collide_split=fix_collide_split,
+                x_canon=canon_nx or None,
+            )
+            for s in range(k):
+                acc[s, 0] += parts[s]
+            for c in range(NSPEEDS):
+                fstage[c] = wf[c][k : 3 * k, :]
+            # block nb-1's output copy drained during the recompute; retire
+            # it before the kernel ends (the generic out_wait above already
+            # retired block nb-slots at this program)
+            out_wait(jnp.int32(nb - 1), jnp.int32((nb - 1) % slots))
+            # rows [off, off+K) land at out[0:K); rows [off-K, off) are the
+            # ring neighbour's shard-top (written locally on 1 device)
+            cp_bot = pltpu.make_async_copy(
+                fstage.at[:, pl.ds(k, k), :],
+                out_ref.at[:, pl.ds(0, k), :], sem_band)
+            if top_local:
+                cp_top = pltpu.make_async_copy(
+                    fstage.at[:, pl.ds(0, k), :],
+                    out_ref.at[:, pl.ds(h - k, k), :], sem_band)
+            else:
+                cp_top = pltpu.make_async_copy(
+                    fstage.at[:, pl.ds(0, k), :], top_ref, sem_band)
+            cp_bot.start()
+            cp_top.start()
+            cp_bot.wait()
+            cp_top.wait()
+            for s in range(k):
+                av_ref[s, 0] = acc[s, 0]
 
 
 def make_skew(
@@ -300,6 +422,11 @@ def make_skew(
     slots: int = 2,
     alias_donor: bool = False,
     collide_split: int = 1,
+    fused_fix: bool = False,
+    self_band: bool = False,
+    top_local: bool = False,
+    fix_collide_split: int = 1,
+    canon_nx: int = 0,
 ):
     """Returns ``(prepare, chunk)``:
 
@@ -313,6 +440,20 @@ def make_skew(
     spliced from the fix kernel (this shard's / the next shard's); block 0's
     per-step sums exclude global rows [-s-1, 2K-s-1), which the fix kernel's
     av output supplies.
+
+    ``fused_fix`` runs that seam fix INSIDE this kernel as one extra
+    trailing grid program (no second pallas_call, no band concat, no value
+    splices): the chunk signature becomes
+    ``chunk(f, [band_lo,] obst_f, oband_f, scal[, donor])`` with ``scal``
+    int32 (1, 3) — [accel row, shard offset, fix-band base row] — and
+    ``oband_f`` the (4K, nx) seam-band obstacle mask. ``self_band`` reads
+    the band's lower half from ``f`` directly (single device: the torus
+    wrap is local — drops the band_lo argument); ``top_local`` writes the
+    shard-top rows [H-K, H) in place instead of returning them (single
+    device), otherwise the chunk returns ``(f', av, top)`` with ``top``
+    the (9, K, nx) slab to ppermute one shard down. Per-step |u| sums are
+    accumulated in-kernel (bitwise-equal to the split kernels' ``av +
+    av_fix``).
     """
     if by is None:
         by = pick_block_rows(h, nx)
@@ -323,22 +464,59 @@ def make_skew(
     if interpret is None:
         interpret = jax.devices()[0].platform == "cpu"
     n_blocks = h // by
+    k = k_steps
 
-    kernel = functools.partial(
-        _kernel, by=by, nx=nx, h=h, k_steps=k_steps, ny_global=ny_global,
+    statics = dict(
+        by=by, nx=nx, h=h, k_steps=k_steps, ny_global=ny_global,
         omega=float(omega), w1=float(accel_w1), w2=float(accel_w2),
-        slots=slots, collide_split=collide_split,
+        slots=slots, collide_split=collide_split, canon_nx=canon_nx,
     )
+    if not fused_fix:
+        kernel = functools.partial(_kernel, **statics)
+    else:
+        def kernel(*refs):
+            it = iter(refs)
+            f = next(it)
+            band_lo = None if self_band else next(it)
+            obst = next(it)
+            oband = next(it)
+            scal = next(it)
+            out = next(it)
+            av = next(it)
+            top = None if top_local else next(it)
+            fbuf, obuf, vstage, slab = (next(it) for _ in range(4))
+            sem_f, sem_o, sem_out, acc = (next(it) for _ in range(4))
+            band, obandv, fstage, sem_band = (next(it) for _ in range(4))
+            return _kernel(
+                f, obst, scal, out, av, fbuf, obuf, vstage, slab,
+                sem_f, sem_o, sem_out, acc,
+                band_lo_ref=band_lo, oband_ref=oband, top_ref=top,
+                band=band, obandv=obandv, fstage=fstage, sem_band=sem_band,
+                fused_fix=True, self_band=self_band, top_local=top_local,
+                fix_collide_split=fix_collide_split, **statics,
+            )
 
-    in_specs = [
-        pl.BlockSpec(memory_space=pl.ANY),      # f
-        pl.BlockSpec(memory_space=pl.ANY),      # obstacles
-        pl.BlockSpec(memory_space=pltpu.SMEM),  # scalars
+    any_spec = pl.BlockSpec(memory_space=pl.ANY)
+    in_specs = [any_spec]                       # f
+    if fused_fix and not self_band:
+        in_specs.append(any_spec)               # band_lo
+    in_specs.append(any_spec)                   # obstacles
+    if fused_fix:
+        in_specs.append(any_spec)               # oband
+    in_specs.append(pl.BlockSpec(memory_space=pltpu.SMEM))  # scalars
+    out_specs = [any_spec, pl.BlockSpec(memory_space=pltpu.SMEM)]
+    out_shape = [
+        jax.ShapeDtypeStruct((NSPEEDS, h, nx), jnp.float32),
+        jax.ShapeDtypeStruct((k, 1), jnp.float32),
     ]
+    if fused_fix and not top_local:
+        out_specs.append(any_spec)
+        out_shape.append(jax.ShapeDtypeStruct((NSPEEDS, k, nx), jnp.float32))
+
     kernel_fn = kernel
     io_aliases = {}
     if alias_donor:
-        in_specs = [pl.BlockSpec(memory_space=pl.ANY)] + in_specs
+        in_specs = [any_spec] + in_specs
 
         def kernel_fn(donor_ref, *rest):
             del donor_ref  # storage only; never read
@@ -346,29 +524,32 @@ def make_skew(
 
         io_aliases = {0: 0}
 
+    scratch_shapes = [
+        pltpu.VMEM((slots, NSPEEDS, by + _PAD, nx), jnp.float32),
+        pltpu.VMEM((slots, by + _PAD, nx), jnp.float32),
+        pltpu.VMEM((slots, NSPEEDS, by, nx), jnp.float32),
+        pltpu.VMEM((k * NSPEEDS * 2, nx), jnp.float32),
+        pltpu.SemaphoreType.DMA((slots,)),
+        pltpu.SemaphoreType.DMA((slots,)),
+        pltpu.SemaphoreType.DMA((slots,)),
+        pltpu.SMEM((k, 1), jnp.float32),
+    ]
+    if fused_fix:
+        scratch_shapes += [
+            pltpu.VMEM((NSPEEDS, 4 * k, nx), jnp.float32),
+            pltpu.VMEM((4 * k, nx), jnp.float32),
+            pltpu.VMEM((NSPEEDS, 2 * k, nx), jnp.float32),
+            pltpu.SemaphoreType.DMA,
+        ]
+
     call = pl.pallas_call(
         kernel_fn,
-        grid=(n_blocks,),
+        grid=(n_blocks + (1 if fused_fix else 0),),
         in_specs=in_specs,
         input_output_aliases=io_aliases,
-        out_specs=[
-            pl.BlockSpec(memory_space=pl.ANY),
-            pl.BlockSpec(memory_space=pltpu.SMEM),
-        ],
-        out_shape=[
-            jax.ShapeDtypeStruct((NSPEEDS, h, nx), jnp.float32),
-            jax.ShapeDtypeStruct((k_steps, 1), jnp.float32),
-        ],
-        scratch_shapes=[
-            pltpu.VMEM((slots, NSPEEDS, by + _PAD, nx), jnp.float32),
-            pltpu.VMEM((slots, by + _PAD, nx), jnp.float32),
-            pltpu.VMEM((slots, NSPEEDS, by, nx), jnp.float32),
-            pltpu.VMEM((k_steps * NSPEEDS * 2, nx), jnp.float32),
-            pltpu.SemaphoreType.DMA((slots,)),
-            pltpu.SemaphoreType.DMA((slots,)),
-            pltpu.SemaphoreType.DMA((slots,)),
-            pltpu.SMEM((k_steps, 1), jnp.float32),
-        ],
+        out_specs=out_specs,
+        out_shape=out_shape,
+        scratch_shapes=scratch_shapes,
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("arbitrary",),
         ),
@@ -383,14 +564,17 @@ def make_skew(
     def prepare(obstacles):
         return obstacles.astype(jnp.float32)
 
-    if alias_donor:
-        def chunk(f, obst_f, scal, donor):
-            f_out, av = call(donor, f, obst_f, scal)
-            return f_out, av[:, 0]
-    else:
-        def chunk(f, obst_f, scal):
-            f_out, av = call(f, obst_f, scal)
-            return f_out, av[:, 0]
+    def chunk(*args):
+        if alias_donor:
+            *ins, donor = args
+            outs = call(donor, *ins)
+        else:
+            outs = call(*args)
+        if fused_fix and not top_local:
+            f_out, av, top = outs
+            return f_out, av[:, 0], top
+        f_out, av = outs
+        return f_out, av[:, 0]
 
     return prepare, chunk
 
@@ -409,6 +593,7 @@ def _fix_kernel(
     w1: float,
     w2: float,
     collide_split: int = 1,
+    canon_nx: int = 0,
 ):
     k = k_steps
     zero = np.float32(0.0)
@@ -428,6 +613,7 @@ def _fix_kernel(
         w, blocked, accel_sel, k, omega, w1, w2,
         owned=(slice(2 * k - 1, 4 * k - 1), slice(0, nx)),
         owned_step_dy=-1, collide_split=collide_split,
+        x_canon=canon_nx or None,
     )
     for s, part in enumerate(parts):
         av_ref[s, 0] = part
@@ -444,6 +630,7 @@ def make_skew_fix(
     k_steps: int = SKEW_K,
     interpret: Optional[bool] = None,
     collide_split: int = 1,
+    canon_nx: int = 0,
 ):
     """Classic 4K-row seam-band kernel paired with the skewed main kernel:
     ``chunk_fix(band, oband_f, scal) -> (vals (9, 2K, nx), av[k])``."""
@@ -453,7 +640,7 @@ def make_skew_fix(
     kernel = functools.partial(
         _fix_kernel, nx=nx, k_steps=k, ny_global=ny_global,
         omega=float(omega), w1=float(accel_w1), w2=float(accel_w2),
-        collide_split=collide_split,
+        collide_split=collide_split, canon_nx=canon_nx,
     )
     call = pl.pallas_call(
         kernel,

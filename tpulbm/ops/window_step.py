@@ -12,6 +12,7 @@ from __future__ import annotations
 
 from typing import List, Optional, Tuple
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 from jax.experimental.pallas import tpu as pltpu
@@ -30,6 +31,25 @@ PAIR_SYMMETRIC_DEFAULT = True
 # this set skip that stage at trace time, so device-time diffs isolate each
 # stage's share. Production never touches it — physics is wrong when set.
 COST_SKIP: set = set()
+
+
+def x_wrap_patch(v: jnp.ndarray, v_pre: jnp.ndarray, cx: int,
+                 x_canon: int) -> jnp.ndarray:
+    """Re-aim a lane roll's wrap column for a periodically x-extended window
+    (see fused_window_steps ``x_canon``). ``v`` is the post-roll plane,
+    ``v_pre`` the pre-roll one; |cx| == 1 (D2Q9)."""
+    wx = v.shape[-1]
+    cid = jax.lax.broadcasted_iota(jnp.int32, v.shape, v.ndim - 1)
+    if cx == 1:
+        # col 0 wrongly reads mirror col wx-1; the true left wrap of col 0
+        # is canonical col x_canon-1
+        return jnp.where(cid == 0, v_pre[..., x_canon - 1 : x_canon], v)
+    # cx == -1: col wx-1 (mirror of col wx-1-x_canon... i.e. canonical col
+    # wx-x_canon-1's mirror) wrongly reads col 0; its true right wrap is
+    # col wx-x_canon
+    return jnp.where(
+        cid == wx - 1, v_pre[..., wx - x_canon : wx - x_canon + 1], v
+    )
 
 
 def accel_update(w: List[jnp.ndarray], sel_free: jnp.ndarray,
@@ -71,6 +91,7 @@ def fused_window_steps(
     owned_alt: Optional[Tuple[slice, slice]] = None,
     collide_split: int = 1,
     owned_step_dy: int = 0,
+    x_canon: Optional[int] = None,
 ):
     """Runs ``k_steps`` fused lattice steps on window values ``w`` (nine
     (H, W) planes). ``accel_sel`` selects the accelerated row's cells
@@ -111,6 +132,16 @@ def fused_window_steps(
     ``s`` the owned rows become ``[start + s*dy, stop + s*dy)``. Used by the
     skew-fix kernel (ops/pallas_kstep_skew.py), whose sum coverage tracks
     the skewed main kernel's sliding valid region.
+
+    ``x_canon``: PERIODIC X-EXTENSION — the window's columns [x_canon, W)
+    are mirror copies of columns [0, W - x_canon) (lane-padding an nx that
+    is not a 128-multiple up to the tile width). The CX rolls then wrap at
+    the wrong column; one select per rolled channel re-aims it — column 0
+    reads pre-roll column x_canon-1 (the true torus left wrap) and column
+    W-1 reads pre-roll column W-x_canon — which keeps every mirror column
+    evolving bitwise-identically to its canonical (the in-register analog
+    of the padded row runner's shifted wrap slabs). Mirror columns are
+    excluded from the per-step |u| sums.
     """
     if pair_symmetric is None:
         pair_symmetric = PAIR_SYMMETRIC_DEFAULT
@@ -131,6 +162,12 @@ def fused_window_steps(
 
     blocked_c = cut(blocked)
     av_mask_c = cut(av_mask) if av_mask is not None else None
+    xmask_c = None
+    if x_canon is not None and x_canon != wx:
+        assert sub_axis == 0, "x_canon with a column margin is unsupported"
+        xmask_c = (
+            jax.lax.broadcasted_iota(jnp.int32, blocked_c.shape, 1) < x_canon
+        )
     parts = []
     for s in range(k_steps):
         if sub_read is not None:
@@ -171,7 +208,10 @@ def fused_window_steps(
                 if CY[c] != 0:
                     v = pltpu.roll(v, CY[c] % wy, 0)
                 if CX[c] != 0:
+                    v_pre = v
                     v = pltpu.roll(v, CX[c] % wx, 1)
+                    if x_canon is not None and x_canon != wx:
+                        v = x_wrap_patch(v, v_pre, CX[c], x_canon)
             if off:
                 v = cut(v)  # tile-aligned: collide skips the margin
             t.append(v)
@@ -202,6 +242,8 @@ def fused_window_steps(
             )
         if av_mask_c is not None:
             speed = jnp.where(av_mask_c, speed, zero)
+        if xmask_c is not None:
+            speed = jnp.where(xmask_c, speed, zero)
         def part_of(slc):
             o_r, o_c = slc
             if off and sub_axis == 0:
