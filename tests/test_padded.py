@@ -83,14 +83,19 @@ def test_unaligned_matches_single_device(ny, nx, n_dev):
 
 
 def test_explicit_pallas_backend_rejected_beyond_padding_gate():
-    """backend='pallas' now takes many unaligned shapes via the periodic-
-    extension padded K-step runner (test_padded_kstep.py); shapes beyond its
-    gate (here pad=62 > rows-8=16), requested with a non-auto backend that
-    can't pad, still produce a clean error."""
+    """Round 3: multi-hop wrap slabs took the last row-padding gate down —
+    ny=130 over 8 devices (pad=62 > rows=16) now builds on backend='pallas'.
+    A shape beyond every Pallas tier (nx too narrow to lane-pad: the mirror
+    would wrap twice) still produces a clean error."""
     params = LBMParams(nx=128, ny=130, max_iters=4, reynolds_dim=10,
                        density=0.1, accel=0.005, omega=1.85).with_free_cells(1)
+    assert make_runner(params, 4, mesh=get_mesh(n_devices=8),
+                       backend="pallas") is not None
+    narrow = LBMParams(nx=64, ny=130, max_iters=4, reynolds_dim=10,
+                       density=0.1, accel=0.005,
+                       omega=1.85).with_free_cells(1)
     with pytest.raises(ValueError, match="jnp padded path"):
-        make_runner(params, 4, mesh=get_mesh(n_devices=8), backend="pallas")
+        make_runner(narrow, 4, mesh=get_mesh(n_devices=8), backend="pallas")
 
 
 def test_cli_unaligned_deck_device_count_invariant(tmp_path):

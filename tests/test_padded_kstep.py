@@ -51,8 +51,9 @@ def test_supported_gate():
     p19, _ = _problem(19, 128)
     assert supported_padded_kstep(p19, 1, 8)
     p130_8, _ = _problem(130, 128)
-    # pad=62 > rows-8=16: wrap slab sources leave the shard
-    assert not supported_padded_kstep(p130_8, 8, 8)
+    # pad=62 > rows-8=16: wrap slab sources leave the edge shards — the
+    # general multi-hop slab form now takes it (round-3; formerly excluded)
+    assert supported_padded_kstep(p130_8, 8, 8)
     p_nx, _ = _problem(19, 100)
     assert not supported_padded_kstep(p_nx, 1, 8)  # nx % 128 != 0
 
@@ -63,6 +64,9 @@ def test_supported_gate():
         (19, 128, 1, 20),    # single device, pad=5, remainder chunk (n%8!=0)
         (30, 128, 2, 24),    # ring with shifted wrap slabs
         (130, 128, 3, 16),   # pad=14 spans > 1 row block of 8
+        (100, 128, 8, 16),   # pad=28 > rows=16: multi-hop wrap slabs, both
+                             # wrap sources spanning two interior shards
+        (130, 128, 8, 16),   # pad=62: wrap sources deep inside the ring
     ],
 )
 def test_padded_kstep_matches_oracle(ny, nx, n_dev, n):

@@ -41,12 +41,37 @@ def test_runner_auto_selects_resident_for_small_grids(params_128):
     np.testing.assert_allclose(np.asarray(av), np.asarray(av_ref), rtol=2e-6)
 
 
+def test_resident_hbm_matches_oracle_bitwise():
+    """The HBM-edge variant (supported_hbm: ping-pong pair only in VMEM —
+    raises the resident ceiling past the 4-copy gate, e.g. 256x512) is
+    bitwise vs the oracle, incl. the odd remainder chunk."""
+    from tpulbm.core.params import LBMParams
+
+    p = LBMParams(nx=512, ny=256, max_iters=1, reynolds_dim=10,
+                  density=0.1, accel=0.005, omega=1.85)
+    rng = np.random.RandomState(7)
+    mask = rng.rand(256, 512) < 0.1
+    p = p.with_free_cells(256 * 512 - int(mask.sum()))
+    assert pallas_resident.supported_hbm(p.ny, p.nx)
+    obst = jnp.asarray(mask)
+    n = 13
+    f_ref, av_ref = run_steps(initial_state(p), obst, p, n)
+    runner = _make_resident_runner(p, n, k_chunk=5)
+    f, av = runner(initial_state(p), obst)
+    assert np.array_equal(np.asarray(f), np.asarray(f_ref))
+    np.testing.assert_allclose(np.asarray(av), np.asarray(av_ref), rtol=2e-6)
+
+
 def test_supported_predicate():
     assert pallas_resident.supported(128, 128)
     assert pallas_resident.supported(256, 256)
     # 256x512 = 131K cells needs 4 state copies = ~19 MB VMEM — must be
-    # routed to the streaming tier (regression: OOM'd at the old 160K cap)
+    # routed past the 4-copy kernel (regression: OOM'd at the old 160K cap);
+    # the HBM-edge variant takes it instead
     assert not pallas_resident.supported(256, 512)
+    assert pallas_resident.supported_hbm(256, 512)
+    assert not pallas_resident.supported_hbm(256, 256)   # 4-copy tier's
+    assert not pallas_resident.supported_hbm(512, 512)   # past ~180K cells
     assert not pallas_resident.supported(1024, 1024)  # too big for VMEM
     assert not pallas_resident.supported(128, 100)    # lane misaligned
     assert not pallas_resident.supported(100, 128)    # sublane misaligned

@@ -16,18 +16,23 @@ mesh:
 Backend tiering under ``backend='pallas'`` (auto on TPU):
 
 1. ``ops.pallas_resident`` — small grids, whole state in VMEM, 512 fused
-   steps per kernel call (single device only);
-2. ``ops.pallas_kstep`` — K=8-step temporal blocking over full-width row
-   blocks (donor-aliased scan ping-pong);
-3. ``ops.pallas_kstep2d`` — wide grids: 2-D row-major tiling (measured
-   fastest in every hardware window sampled so far);
-4. ``ops.pallas_kstep_bands`` — band-major layout with contiguous main
-   window DMA (fallback / A-B alternative for wide grids);
-5. periodic-extension padded ``pallas_kstep`` — ANY (ny, n_devices)
-   (``_make_kstep_runner(padded=True)``);
-6. ``ops.pallas_step`` — 1-step streaming fallback (retained as a safety
+   steps per kernel call (single device only; the HBM-edge variant extends
+   the gate to ~180K cells);
+2. ``ops.pallas_kstep_skew`` — skewed zero-recompute K-step blocks with the
+   seam fix fused into the same kernel (fastest 1-D tier measured);
+3. ``ops.pallas_kstep_skew2d`` — wide grids: 2-D tiled skew;
+4. ``ops.pallas_kstep`` — classic K=8-step temporal blocking over
+   full-width row blocks (donor-aliased scan ping-pong, exact-bottom);
+5. ``ops.pallas_kstep2d`` / ``ops.pallas_kstep_bands`` — classic wide-grid
+   tilings (fallback / A-B alternatives);
+6. periodic-extension padding — ANY (ny, nx, n_devices): row extension for
+   uneven/unaligned ny (``_make_kstep_runner(padded=True)``, multi-hop
+   wrap slabs when the pad exceeds a shard) and column extension for
+   nx % 128 != 0 (``_make_xpad_runner`` — in-register wrap re-aim,
+   window_step.x_wrap_patch), composable;
+7. ``ops.pallas_step`` — 1-step streaming fallback (retained as a safety
    net and as the simplest-possible reference kernel);
-7. ``ops.step_local`` — pure-jnp fallback for unsupported shapes
+8. ``ops.step_local`` — pure-jnp fallback for unsupported shapes
    (also ``backend='jnp'``, the differential-test oracle).
 
 ``backend='pallas-rdma'`` moves the halo exchange in-kernel over ICI:
@@ -62,13 +67,20 @@ def _select_backend(backend: str) -> str:
 
 
 def _make_resident_runner(params: LBMParams, n_steps: int, k_chunk: int = 512):
-    """Single-device runner over the VMEM-resident multi-step kernel."""
+    """Single-device runner over the VMEM-resident multi-step kernel (the
+    HBM-edge variant past the 4-copy VMEM gate — see
+    pallas_resident.supported_hbm)."""
     from tpulbm.ops import pallas_resident
 
     k = min(n_steps, k_chunk)
     n_full, rem = divmod(n_steps, k)
+    maker = (
+        pallas_resident.make_resident_step
+        if pallas_resident.supported(params.ny, params.nx)
+        else pallas_resident.make_resident_step_hbm
+    )
     mk = functools.partial(
-        pallas_resident.make_resident_step,
+        maker,
         params.ny, params.nx,
         accel_row=params.accel_row, omega=params.omega,
         accel_w1=params.accel_w1, accel_w2=params.accel_w2,
@@ -126,6 +138,7 @@ def _make_kstep_runner(
     alias_donor: bool = False,
     padded: bool = False,
     exact_all: bool = False,
+    canon_nx: int = 0,
 ):
     """Runner over a K-step temporal-blocking kernel (1-D row blocks, or 2-D
     row-x-column tiles for wide grids): K fused timesteps per HBM pass, halo
@@ -171,6 +184,10 @@ def _make_kstep_runner(
         pad = 0
         nl = h
         extra = {}
+    if canon_nx:
+        # params.nx is the periodic x-extension width; canon_nx the real nx
+        # (window_step.x_wrap_patch keeps mirrors exact). 1-D kernel only.
+        extra["canon_nx"] = canon_nx
     n_outer, rem = divmod(n_steps, k)
     mk = functools.partial(
         maker,
@@ -219,7 +236,7 @@ def _make_kstep_runner(
                 k, params.nx, k_steps=k, ny_global=params.ny,
                 omega=params.omega, accel_w1=params.accel_w1,
                 accel_w2=params.accel_w2, by=k, row_reuse=False,
-                exact_bottom=False,
+                exact_bottom=False, canon_nx=canon_nx,
             )
         else:
             # tile=None lets pick_tile choose a valid (k, bx) with bx a
@@ -332,11 +349,16 @@ def _make_kstep_runner(
     if padded:
         perm_fwd = [(i, (i + 1) % n_dev) for i in range(n_dev)]
         perm_bwd = [(i, (i - 1) % n_dev) for i in range(n_dev)]
+        # Shifted wrap slabs need their source rows resident on the edge
+        # shards (last shard's canonical tail, shard 0's rows [pad, pad+K));
+        # otherwise (large pad relative to rows) the general multi-hop form
+        # below gathers them from whichever shard(s) hold them.
+        simple_wrap = pad + k <= h and nl >= k
 
         def body(f_loc, obst_loc):
             d = jax.lax.axis_index(axis_name)
 
-            def slab(x, w, axis):
+            def slab_simple(x, w, axis):
                 # Shifted wrap slabs (see the padded docstring above): the
                 # last shard forwards its last CANONICAL w rows; shard 0
                 # sends rows [pad, pad+w) backward. All interior slabs are
@@ -353,6 +375,40 @@ def _make_kstep_runner(
                 )
                 return lo, hi
 
+            def wrap_rows(x, g0, w, recv, axis):
+                # Deliver padded-global rows [g0, g0+w) (static range, may
+                # span two shards) to shard ``recv``; zeros elsewhere.
+                s0 = g0 // h
+                o0 = g0 - s0 * h
+                la = min(w, h - o0)
+                start = jnp.where(d == s0, o0, 0)
+                a = jax.lax.dynamic_slice_in_dim(x, start, la, axis=axis)
+                parts = [jax.lax.ppermute(a, axis_name, [(s0, recv)])]
+                if la < w:
+                    b = jax.lax.slice_in_dim(x, 0, w - la, axis=axis)
+                    parts.append(
+                        jax.lax.ppermute(b, axis_name, [(s0 + 1, recv)]))
+                return (parts[0] if len(parts) == 1
+                        else jnp.concatenate(parts, axis=axis))
+
+            def slab_general(x, w, axis):
+                # Interior edge slabs ride the open chains (no wrap pair),
+                # so the edge shards receive zeros there; the wrap slabs
+                # are gathered from their true owners and ADDED (disjoint
+                # receivers — ppermute zero-fills non-participants).
+                lo = jax.lax.ppermute(
+                    jax.lax.slice_in_dim(x, h - w, h, axis=axis),
+                    axis_name, perm_fwd[:-1],
+                )
+                hi = jax.lax.ppermute(
+                    jax.lax.slice_in_dim(x, 0, w, axis=axis),
+                    axis_name, perm_bwd[1:],
+                )
+                lo = lo + wrap_rows(x, ny - w, w, 0, axis)
+                hi = hi + wrap_rows(x, pad, w, n_dev - 1, axis)
+                return lo, hi
+
+            slab = slab_simple if simple_wrap else slab_general
             f_out, av = run_local(
                 f_loc, obst_loc, (d * h).astype(jnp.int32),
                 lambda x, w: slab(x, w, 0), lambda g, w: slab(g, w, 1),
@@ -409,17 +465,23 @@ def _make_skew_runner(
     collide_split: int = 1,
     maker=None,
     tile=None,
+    fused_fix: bool | None = None,
+    canon_nx: int = 0,
 ):
     """Runner over the skewed zero-recompute K-step kernel
     (ops/pallas_kstep_skew.py). Per K-step chunk: the main kernel advances
     every row block with compute/owned ratio 1.0 (the parallelogram skew),
-    then the 4K-row seam fix kernel recomputes the torus/shard seam band
-    from the chunk's input and splices its values into rows [0, K) locally
-    and rows [H-K, H) of the ring neighbour below (the skew shifts each
-    block's output down K rows, so the shard-top rows are produced across
-    the seam). Collective count per chunk matches the classic runner: one
-    2K-row slab forward (fix band input) + one K-row slab backward (fix
-    output), plus the single deferred post-loop psum of the |u| series.
+    then the 4K-row seam fix recomputes the torus/shard seam band from the
+    chunk's input and splices its values into rows [0, K) locally and rows
+    [H-K, H) of the ring neighbour below (the skew shifts each block's
+    output down K rows, so the shard-top rows are produced across the
+    seam). With ``fused_fix`` (default for the 1-D kernel) the seam fix
+    runs as an extra trailing program of the SAME pallas_call — no second
+    kernel launch, band concat, or value splices; on one device the whole
+    chunk is a single kernel call. Collective count per chunk matches the
+    classic runner either way: one 2K-row slab forward (fix band input) +
+    one K-row slab backward (fix output), plus the single deferred
+    post-loop psum of the |u| series.
     """
     from tpulbm.ops import pallas_kstep, pallas_kstep_skew as pks
 
@@ -428,12 +490,22 @@ def _make_skew_runner(
     k = pks.SKEW_K
     ny = params.ny
     n_outer, rem = divmod(n_steps, k)
+    if fused_fix is None:
+        fused_fix = maker is None
     if maker is None:
+        fused_kw = {}
+        if fused_fix:
+            fused_kw = dict(
+                fused_fix=True, self_band=n_dev == 1,
+                top_local=n_dev == 1,
+                fix_collide_split=max(1, params.nx // 1024),
+            )
         mk = functools.partial(
             pks.make_skew,
             h, params.nx, k, ny_global=ny, omega=params.omega,
             accel_w1=params.accel_w1, accel_w2=params.accel_w2,
-            by=by, collide_split=collide_split,
+            by=by, collide_split=collide_split, canon_nx=canon_nx,
+            **fused_kw,
         )
     else:
         # 2-D tiled skew (wide grids): same chunk/fix/runner contract
@@ -449,10 +521,12 @@ def _make_skew_runner(
     else:
         prepare, chunk_k = mk()
         chunk_plain = chunk_k
-    chunk_fix = pks.make_skew_fix(
-        params.nx, ny, params.omega, params.accel_w1, params.accel_w2, k,
-        collide_split=max(1, params.nx // 1024),
-    )
+    chunk_fix = None
+    if not fused_fix:
+        chunk_fix = pks.make_skew_fix(
+            params.nx, ny, params.omega, params.accel_w1, params.accel_w2, k,
+            collide_split=max(1, params.nx // 1024), canon_nx=canon_nx,
+        )
     chunk_r = None
     if rem:
         # classic fallback kernel for the sub-K tail: 1-D where it fits,
@@ -465,7 +539,12 @@ def _make_skew_runner(
         )
         if pallas_kstep.supported(h, params.nx, rem):
             chunk_r = pallas_kstep.make_kstep(
-                h, params.nx, k_steps=rem, **rem_kw)[1]
+                h, params.nx, k_steps=rem, canon_nx=canon_nx, **rem_kw)[1]
+        elif canon_nx:
+            raise ValueError(
+                f"skew runner: no x-extended remainder kernel for local "
+                f"shape ({h}, {params.nx}), rem={rem}"
+            )
         elif pallas_kstep2d.supported(h, params.nx, rem):
             chunk_r = pallas_kstep2d.make_kstep2d(
                 h, params.nx, k_steps=rem, **rem_kw)[1]
@@ -483,25 +562,43 @@ def _make_skew_runner(
         arrived from above; psl2/psl3: full (lo, hi) slabs (remainder-chunk
         classic kernel only)."""
         scal = jnp.stack([jnp.int32(accel_glob), shard_off]).reshape(1, 2)
-        scal_fix = jnp.stack([
-            jnp.int32(accel_glob),
-            jnp.mod(shard_off - 2 * k, ny).astype(jnp.int32),
-        ]).reshape(1, 2)
+        fix_base = jnp.mod(shard_off - 2 * k, ny).astype(jnp.int32)
+        scal_fix = jnp.stack([jnp.int32(accel_glob), fix_base]).reshape(1, 2)
         obst_f = obst_bool.astype(jnp.float32)
         oband = jnp.concatenate([lo2(obst_f, 2 * k), obst_f[: 2 * k]], axis=0)
 
-        def do_chunk(g, donor, av_scale=True):
-            band = jnp.concatenate([lo3(g, 2 * k), g[:, : 2 * k, :]], axis=1)
-            if donor is None:
-                g2, av = chunk_plain(g, obst_f, scal)
-            else:
-                g2, av = chunk_k(g, obst_f, scal, donor)
-            vals, av_f = chunk_fix(band, oband, scal_fix)
-            g2 = jax.lax.dynamic_update_slice(
-                g2, vals[:, k:, :], (0, 0, 0))
-            top = send_down(vals[:, :k, :])
-            g2 = jax.lax.dynamic_update_slice(g2, top, (0, h - k, 0))
-            return g2, av + av_f
+        if fused_fix:
+            scal3 = jnp.stack(
+                [jnp.int32(accel_glob), shard_off, fix_base]).reshape(1, 3)
+
+            def do_chunk(g, donor):
+                if n_dev == 1:
+                    args = (g, obst_f, oband, scal3)
+                else:
+                    args = (g, lo3(g, 2 * k), obst_f, oband, scal3)
+                fn = chunk_plain if donor is None else chunk_k
+                if donor is not None:
+                    args = args + (donor,)
+                if n_dev == 1:
+                    return fn(*args)
+                g2, av, top = fn(*args)
+                top = send_down(top)
+                g2 = jax.lax.dynamic_update_slice(g2, top, (0, h - k, 0))
+                return g2, av
+        else:
+            def do_chunk(g, donor):
+                band = jnp.concatenate(
+                    [lo3(g, 2 * k), g[:, : 2 * k, :]], axis=1)
+                if donor is None:
+                    g2, av = chunk_plain(g, obst_f, scal)
+                else:
+                    g2, av = chunk_k(g, obst_f, scal, donor)
+                vals, av_f = chunk_fix(band, oband, scal_fix)
+                g2 = jax.lax.dynamic_update_slice(
+                    g2, vals[:, k:, :], (0, 0, 0))
+                top = send_down(vals[:, :k, :])
+                g2 = jax.lax.dynamic_update_slice(g2, top, (0, h - k, 0))
+                return g2, av + av_f
 
         if alias_donor:
             n_pairs, odd = divmod(n_outer, 2)
@@ -1197,20 +1294,83 @@ def supported_strips(params: LBMParams, n_dev: int, k: int,
     )
 
 
+def _make_xpad_runner(
+    params: LBMParams,
+    n_steps: int,
+    mesh: Mesh,
+    axis_name: str = AXIS,
+):
+    """Periodic X-EXTENSION runner for nx % 128 != 0: pad the columns to the
+    next 128-multiple with mirror copies of columns [0, padx), re-aim the
+    kernels' lane-roll wrap at the true torus column in-register
+    (window_step.x_wrap_patch — the lane analog of the padded row runner's
+    shifted wrap slabs), mask mirrors out of the |u| series, and crop the
+    output. Mirrors evolve bitwise-identically to their canonicals, so the
+    result is exact — no seam recompute. Composes with the periodic row
+    extension for uneven (ny, n_devices). Returns None when no x-extended
+    tier takes the shape (padx >= nx, or rows/VMEM gates fail).
+
+    Reference parity: the reference runs any nx directly on uneven C loops
+    (d2q9-bgk.c:834-862); lane-tiled TPU windows need 128-multiples, so the
+    extension is the TPU-native equivalent.
+    """
+    import dataclasses as _dc
+
+    from tpulbm.ops import pallas_kstep, pallas_kstep_skew
+
+    nx = params.nx
+    nxp = -(-nx // 128) * 128
+    padx = nxp - nx
+    if padx == 0 or padx >= nx:
+        return None
+    xp = _dc.replace(params, nx=nxp)
+    n_dev = mesh.devices.size
+    inner = None
+    k = min(pallas_kstep.MAX_K, n_steps)
+    if params.ny % n_dev == 0:
+        rows = params.ny // n_dev
+        rem = n_steps % pallas_kstep_skew.SKEW_K
+        skew_rem_ok = rem == 0 or pallas_kstep.supported(rows, nxp, rem)
+        if (n_steps >= pallas_kstep_skew.SKEW_K and skew_rem_ok
+                and pallas_kstep_skew.supported(
+                    rows, nxp, pallas_kstep_skew.SKEW_K)):
+            inner = _make_skew_runner(
+                xp, n_steps, mesh, axis_name, canon_nx=nx)
+        elif pallas_kstep.supported(rows, nxp, k):
+            inner = _make_kstep_runner(
+                xp, n_steps, mesh, k, axis_name, alias_donor=True,
+                exact_all=True, canon_nx=nx,
+            )
+    if inner is None and supported_padded_kstep(xp, n_dev, k):
+        # row extension handles the y side; column extension the x side
+        inner = _make_kstep_runner(
+            xp, n_steps, mesh, k, axis_name, alias_donor=True, padded=True,
+            canon_nx=nx,
+        )
+    if inner is None:
+        return None
+
+    @functools.partial(jax.jit, donate_argnums=0)
+    def runner(f, obstacles):
+        f = jnp.concatenate([f, f[:, :, :padx]], axis=2)
+        obst = jnp.concatenate([obstacles, obstacles[:, :padx]], axis=1)
+        f_out, av = inner(f, obst)
+        return f_out[:, :, :nx], av
+
+    return runner
+
+
 def supported_padded_kstep(params: LBMParams, n_dev: int, k: int) -> bool:
-    """Whether the periodic-extension padded K-step runner takes this shape:
-    the wrap slab sources must be in-shard (pad + K <= rows on shard 0, >= K
-    canonical rows on the last shard) and the kernel must take (rows, nx)."""
+    """Whether the periodic-extension padded K-step runner takes this shape.
+    Only the kernel gate remains: wrap slabs whose source rows live off the
+    edge shards (pad + K > rows, or < K canonical rows on the last shard)
+    are gathered from their true owners by the general multi-hop slab form
+    (_make_kstep_runner slab_general)."""
     from tpulbm.dist.sharding import padded_split_aligned
     from tpulbm.ops import pallas_kstep
 
     rows, ny_pad = padded_split_aligned(params.ny, n_dev)
-    pad = ny_pad - params.ny
-    return (
-        pad + k <= rows
-        and params.ny - (n_dev - 1) * rows >= k
-        and pallas_kstep.supported(rows, params.nx, k)
-    )
+    return pallas_kstep.supported(rows, params.nx, k)
 
 
 def supported_2d_kstep(params: LBMParams, mesh: Mesh, k: int) -> bool:
@@ -1361,6 +1521,10 @@ def make_runner(
                     params, n_steps, mesh, kp, axis_name,
                     alias_donor=True, padded=True,
                 )
+            r = _make_xpad_runner(params, n_steps, mesh, axis_name)
+            if r is not None:
+                # combined periodic row + column extension
+                return r
         if requested not in ("auto", "jnp"):
             raise ValueError(
                 f"backend {requested!r} does not support the shape: "
@@ -1400,9 +1564,13 @@ def make_runner(
     if backend == "pallas":
         from tpulbm.ops import pallas_kstep, pallas_resident, pallas_step
 
-        if n_dev == 1 and pallas_resident.supported(params.ny, params.nx):
+        if n_dev == 1 and (
+            pallas_resident.supported(params.ny, params.nx)
+            or pallas_resident.supported_hbm(params.ny, params.nx)
+        ):
             # Small grid: the whole state lives in VMEM across K fused steps
-            # per kernel call — zero HBM traffic per step.
+            # per kernel call — zero HBM traffic per step (HBM-edge variant
+            # up to ~180K cells: chunk-boundary DMAs only).
             return _make_resident_runner(params, n_steps)
         k = min(pallas_kstep.MAX_K, n_steps)
         from tpulbm.ops import pallas_kstep2d as _pk2d_gate
@@ -1461,6 +1629,11 @@ def make_runner(
                 params, n_steps, mesh, k, axis_name,
                 alias_donor=True, padded=True,
             )
+        r = _make_xpad_runner(params, n_steps, mesh, axis_name)
+        if r is not None:
+            # nx % 128 != 0: periodic column extension (exact; optionally
+            # combined with the row extension) instead of the jnp cliff
+            return r
         if not pallas_step.supported(rows_local, params.nx):
             if requested == "pallas":
                 raise ValueError(
