@@ -22,8 +22,9 @@ run:
 
 # Golden regression gate — the reference's `make check` (Makefile:19-20).
 # The 256x256 / 1024x1024 final_state goldens are stripped upstream
-# (reference .MISSING_LARGE_BLOBS); fall back to av_vels-only gating for
-# those decks, as scripts/acceptance.sh does.
+# (reference .MISSING_LARGE_BLOBS); those decks gate against the
+# framework-generated f64-oracle pressure goldens (.f64.npz,
+# scripts/make_f64_goldens.py) so all four decks are final-state-gated.
 check: run
 	@if [ -f tests/goldens/$(DECK).final_state.dat ]; then \
 	  $(PY) -m tpulbm.validation.check \
@@ -31,8 +32,16 @@ check: run
 	    --ref-final-state-file tests/goldens/$(DECK).final_state.dat \
 	    --av-vels-file $(OUT)/av_vels.dat \
 	    --final-state-file $(OUT)/final_state.dat; \
+	elif [ -f tests/goldens/$(DECK).final_state.f64.npz ]; then \
+	  echo "final_state golden for $(DECK) stripped upstream;" \
+	       "gating against the framework f64-oracle pressure golden"; \
+	  $(PY) -m tpulbm.validation.check \
+	    --ref-av-vels-file tests/goldens/$(DECK).av_vels.dat \
+	    --ref-final-state-file tests/goldens/$(DECK).final_state.f64.npz \
+	    --av-vels-file $(OUT)/av_vels.dat \
+	    --final-state-file $(OUT)/final_state.dat; \
 	else \
-	  echo "final_state golden for $(DECK) stripped upstream; av_vels-only gate"; \
+	  echo "no final_state golden for $(DECK); av_vels-only gate"; \
 	  $(PY) -m tpulbm.validation.check --av-vels-only \
 	    --ref-av-vels-file tests/goldens/$(DECK).av_vels.dat \
 	    --av-vels-file $(OUT)/av_vels.dat; \

@@ -150,6 +150,34 @@ def test_checker_cli(tmp_path):
     ]) == 0
 
 
+def test_checker_npz_golden(tmp_path):
+    """Framework-generated .f64.npz pressure goldens gate the final state
+    exactly like the reference text format (scripts/make_f64_goldens.py
+    writes these for the decks stripped upstream)."""
+    from tpulbm.cli import main as run_main
+    from tpulbm.validation.check import main as check_main
+
+    out = tmp_path / "o"
+    run_main([PARAMS, OBST, "--max-iters", "5", "--backend", "jnp",
+              "--out-dir", str(out), "--device-count", "1"])
+    fs, av = str(out / "final_state.dat"), str(out / "av_vels.dat")
+    pressure = np.loadtxt(fs, usecols=[5]).reshape(128, 128)
+    ref = tmp_path / "golden.f64.npz"
+    np.savez_compressed(ref, pressure=pressure.astype(np.float32))
+    assert check_main([
+        "--ref-av-vels-file", av, "--ref-final-state-file", str(ref),
+        "--av-vels-file", av, "--final-state-file", fs,
+    ]) == 0
+    # a 5% pressure perturbation fails the 1% gate
+    bad = tmp_path / "bad.f64.npz"
+    pressure[3, 7] *= 1.05
+    np.savez_compressed(bad, pressure=pressure.astype(np.float32))
+    assert check_main([
+        "--ref-av-vels-file", av, "--ref-final-state-file", str(bad),
+        "--av-vels-file", av, "--final-state-file", fs,
+    ]) == 1
+
+
 def test_cli_clean_errors(tmp_path, capsys):
     """Reference-style die(): one clean stderr line, exit 1, no traceback
     (d2q9-bgk.c:1145-1151)."""

@@ -38,10 +38,24 @@ class Diffs:
         )
 
 
+def _load_final_state(final_state_path: str) -> np.ndarray:
+    """(n_cells, 3) array of x, y, pressure — from the reference text
+    format, or from a framework-generated f64-oracle golden (.npz with a
+    ``pressure`` plane; scripts/make_f64_goldens.py) for the decks whose
+    final_state golden is stripped upstream."""
+    if str(final_state_path).endswith(".npz"):
+        with np.load(final_state_path) as z:
+            p = z["pressure"]
+        ny, nx = p.shape
+        xs = np.tile(np.arange(nx), ny)
+        ys = np.repeat(np.arange(ny), nx)
+        return np.column_stack([xs, ys, p.ravel()]).astype(np.float64)
+    return np.loadtxt(final_state_path, usecols=[0, 1, 5])
+
+
 def _load(av_vels_path: str, final_state_path: str):
     av_vels = np.loadtxt(av_vels_path, usecols=[1])
-    final_state = np.loadtxt(final_state_path, usecols=[0, 1, 5])
-    return av_vels, final_state
+    return av_vels, _load_final_state(final_state_path)
 
 
 def _diff_values(ref_vals: np.ndarray, sim_vals: np.ndarray) -> Diffs:
