@@ -5,7 +5,7 @@ PY ?= python
 DECK ?= 128x128
 OUT ?= out
 
-.PHONY: all test check run bench native clean profile
+.PHONY: all test test-all check run bench native clean profile
 
 all: native
 
@@ -14,7 +14,13 @@ native:
 	mkdir -p native/build
 	g++ -O2 -std=c++17 -shared -fPIC native/io_native.cpp -o native/build/libtpulbm_io.so
 
+# Default gate (<10 min on this 1-core host): everything except the heavy
+# interpret-mode kernel differentials, which conftest auto-marks `slow`
+# (cheap per-kernel `smoke` differentials stay in). Full matrix: test-all.
 test:
+	$(PY) -m pytest tests/ -q -m "not slow"
+
+test-all:
 	$(PY) -m pytest tests/ -q
 
 run:

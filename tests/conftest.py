@@ -24,6 +24,38 @@ import pytest  # noqa: E402
 REFERENCE = "/root/repo/data"
 GOLDEN = "/root/repo/tests/goldens"
 
+# Interpret-mode Pallas differentials execute the kernels' DMA/semaphore
+# programs on the CPU interpreter at ~10-100x real cost, and this host has
+# ONE core — the full kernel matrix takes ~45 min serial. Policy: every test
+# in these modules is `slow` (run `make test-all` / nightly) unless
+# explicitly marked `smoke` (the cheap per-kernel differentials kept in the
+# default <10-min gate, `make test`). Non-kernel modules are unaffected.
+_INTERPRET_KERNEL_MODULES = {
+    "test_pallas",
+    "test_pallas_bands",
+    "test_pallas_kstep",
+    "test_pallas_kstep2d",
+    "test_pallas_kstep_skew",
+    "test_pallas_rdma",
+    "test_pallas_resident",
+    "test_pallas_resident_rdma",
+    "test_strips",
+    "test_xpad",
+    "test_torus_kstep",
+    "test_padded_kstep",
+    "test_kernel_fuzz",
+    "test_scale",
+}
+
+
+def pytest_collection_modifyitems(config, items):
+    for item in items:
+        mod = item.nodeid.split("::", 1)[0].rsplit("/", 1)[-1]
+        if mod.endswith(".py"):
+            mod = mod[:-3]
+        if mod in _INTERPRET_KERNEL_MODULES and "smoke" not in item.keywords:
+            item.add_marker(pytest.mark.slow)
+
 
 @pytest.fixture(scope="session")
 def params_128():

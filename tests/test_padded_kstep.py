@@ -40,6 +40,7 @@ def _problem(ny, nx, seed=7):
     return params.with_free_cells(ny * nx - int(mask.sum())), mask
 
 
+@pytest.mark.smoke
 def test_padded_split_aligned_policy():
     assert padded_split_aligned(19, 1) == (24, 24)
     assert padded_split_aligned(30, 2) == (16, 32)
@@ -47,6 +48,7 @@ def test_padded_split_aligned_policy():
     assert padded_split_aligned(128, 8) == (16, 128)  # aligned: no padding
 
 
+@pytest.mark.smoke
 def test_supported_gate():
     p19, _ = _problem(19, 128)
     assert supported_padded_kstep(p19, 1, 8)

@@ -26,6 +26,7 @@ def _rand_case(h, nx, seed=0, obst_frac=0.1):
     return f, obst
 
 
+@pytest.mark.smoke
 @pytest.mark.parametrize(
     "h,nx,budget",
     [
@@ -55,6 +56,7 @@ def test_kernel_matches_jnp_oracle(h, nx, budget, monkeypatch):
     np.testing.assert_allclose(float(totp), float(totj), rtol=1e-6)
 
 
+@pytest.mark.smoke
 def test_kernel_accel_row_on_block_boundary(monkeypatch):
     """The accelerated row handling when the row is a neighbour row of an
     adjacent block (the a_lo / a_hi code paths)."""
@@ -76,6 +78,7 @@ def test_kernel_accel_row_on_block_boundary(monkeypatch):
         assert np.array_equal(np.asarray(fp), np.asarray(fj)), f"row {row}"
 
 
+@pytest.mark.smoke
 def test_non_owner_device_applies_no_accel(monkeypatch):
     """accel_row == -1 (non-owner shard) must leave the state untouched by
     the acceleration — including the block-0 lo-row edge case."""
@@ -109,6 +112,7 @@ def test_runner_pallas_multi_device_matches_oracle(params_128):
                                    rtol=2e-5)
 
 
+@pytest.mark.smoke
 def test_supported_predicate():
     assert ps.supported(128, 128)
     assert ps.supported(1024, 1024)

@@ -33,6 +33,7 @@ def _box_problem(ny, nx):
     return params.with_free_cells(ny * nx - int(mask.sum())), mask
 
 
+@pytest.mark.smoke
 def test_band_round_trip():
     rng = np.random.RandomState(0)
     f = jnp.asarray(rng.rand(9, 64, 512).astype(np.float32))
@@ -41,6 +42,7 @@ def test_band_round_trip():
     )
 
 
+@pytest.mark.smoke
 def test_pick_bands():
     assert pkb.pick_bands(4096, 4096) == (32, 1024)
     assert pkb.pick_bands(4096, 4096, narrow_cols=True) == (64, 512)

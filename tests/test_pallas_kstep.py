@@ -20,6 +20,7 @@ from tpulbm.dist.runner import _make_kstep_runner, make_runner
 from tpulbm.ops.step_jnp import run_steps
 
 
+@pytest.mark.smoke
 @pytest.mark.parametrize("n_dev,k", [
     (1, 8), (1, 3), (2, 8), (8, 8), (8, 5),
 ])
@@ -69,6 +70,7 @@ def test_kstep_multiblock_shard(params_128, monkeypatch):
                                    rtol=2e-5)
 
 
+@pytest.mark.smoke
 def test_runner_prefers_resident_then_kstep(params_128):
     """Backend selection: small grids -> resident; larger/streamed local
     shapes -> kstep (verified indirectly by equality either way)."""
@@ -84,6 +86,7 @@ def test_runner_prefers_resident_then_kstep(params_128):
     np.testing.assert_allclose(np.asarray(av), np.asarray(av_ref), rtol=2e-5)
 
 
+@pytest.mark.smoke
 def test_supported_predicate():
     assert pk.supported(128, 128, 8)
     assert pk.supported(1024, 1024, 8)

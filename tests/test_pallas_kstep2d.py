@@ -43,6 +43,7 @@ def test_kstep2d_matches_oracle(multi_tile_case, n_dev, k):
     np.testing.assert_allclose(np.asarray(av), np.asarray(av_ref), rtol=2e-5)
 
 
+@pytest.mark.smoke
 def test_supported_and_tile():
     assert pk2.supported(4096, 4096, 8)
     assert pk2.pick_tile(4096, 4096) is not None

@@ -40,11 +40,13 @@ def _random_case(ny, nx, seed=3, p_block=0.1):
 
 
 @pytest.mark.parametrize("n,n_dev,donor", [
-    (8, 1, False),    # single chunk, plain
+    # single chunk, plain — kept in the default gate (smoke)
+    pytest.param(8, 1, False, marks=pytest.mark.smoke),
     (16, 1, True),    # one ping-pong pair
     (19, 1, True),    # odd head + remainder chunk (classic fallback)
     (24, 2, True),    # ring: fix band and output slab cross shards
-    (24, 8, True),    # 8-shard ring (ny=512 below)
+    # 8-shard ring (ny=512 below) — smoke: the multi-device skew exchange
+    pytest.param(24, 8, True, marks=pytest.mark.smoke),
 ])
 def test_skew_matches_oracle(n, n_dev, donor):
     ny = 512 if n_dev == 8 else 128
@@ -87,6 +89,7 @@ def test_skew_accel_row_in_seam_band():
     np.testing.assert_allclose(np.asarray(av), np.asarray(av_ref), rtol=2e-5)
 
 
+@pytest.mark.smoke
 def test_supported_predicate():
     assert pks.supported(128, 128, 8)
     assert pks.supported(1024, 1024, 8)

@@ -43,6 +43,7 @@ def test_rdma_runner_matches_oracle(params_128, n_dev, n_steps):
     np.testing.assert_allclose(np.asarray(av), np.asarray(av_ref), rtol=2e-5)
 
 
+@pytest.mark.smoke
 def test_rdma_single_device_falls_back(params_128, capsys):
     """Unsupported rdma shapes fall back to the ppermute runner with a
     warning instead of raising (r1 review item 8)."""
@@ -75,6 +76,7 @@ def test_rdma_short_runs_native(params_128, n_steps):
     assert av.shape == (n_steps,)
 
 
+@pytest.mark.smoke
 def test_supported_predicate():
     assert pkr.supported(128, 128, 8, 2)
     assert pkr.supported(128, 128, 4, 2)       # variable K <= margin

@@ -26,6 +26,7 @@ def test_resident_matches_oracle_bitwise(params_128, k_chunk):
     assert av.shape == (n,)
 
 
+@pytest.mark.smoke
 def test_runner_auto_selects_resident_for_small_grids(params_128):
     """backend='pallas' on a 1-device mesh routes small grids through the
     resident kernel and still matches the oracle."""
@@ -62,6 +63,7 @@ def test_resident_hbm_matches_oracle_bitwise():
     np.testing.assert_allclose(np.asarray(av), np.asarray(av_ref), rtol=2e-6)
 
 
+@pytest.mark.smoke
 def test_supported_predicate():
     assert pallas_resident.supported(128, 128)
     assert pallas_resident.supported(256, 256)

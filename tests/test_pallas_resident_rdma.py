@@ -26,6 +26,7 @@ def _canonical_feq(monkeypatch):
     monkeypatch.setattr(window_step, "PAIR_SYMMETRIC_DEFAULT", False)
 
 
+@pytest.mark.smoke
 def test_supported_gate(params_128):
     params, _ = params_128
     assert prr.supported(64, 128, 8, 2)

@@ -31,6 +31,7 @@ def _case(ny, nx):
     return p, jnp.asarray(mask)
 
 
+@pytest.mark.smoke
 def test_supported_gate():
     p, _ = _case(64, 256)
     assert supported_strips(p, 1, 8, bx=128, by=16)

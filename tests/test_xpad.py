@@ -70,6 +70,7 @@ def test_make_runner_routes_unaligned_nx():
     np.testing.assert_allclose(np.asarray(av), np.asarray(av_ref), rtol=2e-5)
 
 
+@pytest.mark.smoke
 def test_xpad_rejects_tiny_nx():
     """padx >= nx (mirror would wrap twice) stays on the jnp path."""
     p, _ = _random_case(128, 60)
