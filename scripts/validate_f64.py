@@ -74,6 +74,65 @@ def run_f64(params, obst, n_steps):
     return f, av
 
 
+def run_f64_jax(params, obst, n_steps):
+    """XLA-compiled port of ``run_f64`` (same from-spec arithmetic, float64,
+    ``lax.scan`` over steps) for golden generation at sizes where the
+    interpreted NumPy loop is impractical on this 1-core host (1024^2 x
+    20000 steps ~ 7 h NumPy). Not bitwise vs ``run_f64`` — XLA may
+    reassociate — but cross-checked against it to ~1e-13 over hundreds of
+    steps (tests/test_physics.py::test_f64_jax_oracle_matches_numpy_oracle),
+    and every golden generated from it is additionally gated against the
+    reference double build's FULL av_vels series at 1e-4
+    (scripts/make_f64_goldens.py)."""
+    import os
+
+    os.environ.setdefault("JAX_PLATFORMS", "cpu")
+    import jax
+
+    jax.config.update("jax_platforms", "cpu")
+    jax.config.update("jax_enable_x64", True)
+    import jax.numpy as jnp
+
+    ny, nx = params.ny, params.nx
+    rho0 = float(params.density)
+    w1 = rho0 * float(params.accel) / 9.0
+    w2 = rho0 * float(params.accel) / 36.0
+    omega = float(params.omega)
+    obst_j = jnp.asarray(obst)
+    free = ~obst_j
+    inv_free = 1.0 / int(np.asarray(free).sum())
+    row = ny - 2
+    f0 = (jnp.asarray(W, dtype=jnp.float64)[:, None, None]
+          * rho0 * jnp.ones((9, ny, nx), dtype=jnp.float64))
+
+    def step(f, _):
+        ok = free[row] & (f[3, row] > w1) & (f[6, row] > w2) & (f[7, row] > w2)
+        for k, d in ((1, w1), (3, -w1), (5, w2), (6, -w2), (7, -w2), (8, w2)):
+            f = f.at[k, row].set(jnp.where(ok, f[k, row] + d, f[k, row]))
+        t = jnp.stack([
+            jnp.roll(f[k], (int(C[k, 1]), int(C[k, 0])), axis=(0, 1))
+            for k in range(9)
+        ])
+        rho = t.sum(axis=0)
+        mx = t[1] + t[5] + t[8] - t[3] - t[6] - t[7]
+        my = t[2] + t[5] + t[6] - t[4] - t[7] - t[8]
+        usq = mx * mx + my * my
+        feq = jnp.stack([
+            W[k] * (rho + 3 * cu + 1.5 / rho * (3 * cu * cu - usq))
+            for k in range(9)
+            for cu in (C[k, 0] * mx + C[k, 1] * my,)
+        ])
+        out = t + omega * (feq - t)
+        out = jnp.where(obst_j[None], t[jnp.asarray(OPP)], out)
+        av = jnp.where(free, jnp.sqrt(usq) / rho, 0.0).sum() * inv_free
+        return out, av
+
+    f_final, av = jax.jit(
+        lambda f: jax.lax.scan(step, f, None, length=n_steps)
+    )(f0)
+    return np.asarray(f_final), np.asarray(av)
+
+
 def main():
     deck = sys.argv[1] if len(sys.argv) > 1 else "128x128"
     n_steps = int(sys.argv[2]) if len(sys.argv) > 2 else 2000

@@ -91,3 +91,40 @@ def test_accelerate_guard_and_row(params_128):
     assert np.all(d[:, row][:, ~free] == 0)
     # Mass unchanged (momentum-only forcing).
     assert abs(d.sum()) < 1e-5
+
+
+def test_f64_jax_oracle_matches_numpy_oracle():
+    """The XLA-compiled f64 oracle (scripts/validate_f64.run_f64_jax — used
+    to generate the large final-state goldens) reproduces the interpreted
+    NumPy oracle to ~1e-13 over 100 steps on the official 128x128 deck.
+    Subprocess-isolated because run_f64_jax enables jax_enable_x64
+    globally."""
+    import subprocess
+    import sys
+
+    code = """
+import sys
+sys.path.insert(0, ".")
+sys.path.insert(0, "scripts")
+import numpy as np
+from validate_f64 import run_f64, run_f64_jax
+from tpulbm.io.params_file import read_params
+from tpulbm.io.obstacles import read_obstacles
+p = read_params("data/input_128x128.params")
+obst, nf = read_obstacles("data/obstacles_128x128.dat", p.nx, p.ny)
+p = p.with_free_cells(nf)
+f_np, av_np = run_f64(p, obst, 100)
+f_jx, av_jx = run_f64_jax(p, obst, 100)
+state = np.abs((f_jx - f_np) / np.where(f_np != 0, f_np, 1)).max()
+av = np.abs((av_jx - av_np) / av_np).max()
+assert state < 1e-12, state
+assert av < 1e-12, av
+print("OK", state, av)
+"""
+    proc = subprocess.run(
+        [sys.executable, "-c", code], cwd="/root/repo",
+        capture_output=True, text=True, timeout=600,
+        env={**__import__("os").environ, "JAX_PLATFORMS": "cpu"},
+    )
+    assert proc.returncode == 0, proc.stderr[-2000:]
+    assert proc.stdout.startswith("OK")
