@@ -35,6 +35,19 @@ for deck in 128x128 128x256 256x256 1024x1024; do
     else
       echo "CHECK FAIL: $deck"; fail=1
     fi
+  elif [ -f "tests/goldens/$deck.final_state.f64.npz" ]; then
+    # upstream final-state golden stripped; gate against the framework's
+    # f64-oracle pressure golden (scripts/make_f64_goldens.py), as make check
+    if python -m tpulbm.validation.check \
+        --ref-av-vels-file "tests/goldens/$deck.av_vels.dat" \
+        --ref-final-state-file "tests/goldens/$deck.final_state.f64.npz" \
+        --av-vels-file "$dir/av_vels.dat" \
+        --final-state-file "$dir/final_state.dat" 2>/dev/null \
+        | grep -q "Both tests passed!"; then
+      echo "CHECK PASS: $deck (av_vels + f64-oracle final_state)"
+    else
+      echo "CHECK FAIL: $deck"; fail=1
+    fi
   else
     # final-state golden stripped upstream; gate the av_vels series alone
     if python - "$deck" "$dir" <<'EOF'
