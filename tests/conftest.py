@@ -36,6 +36,7 @@ _INTERPRET_KERNEL_MODULES = {
     "test_pallas_kstep",
     "test_pallas_kstep2d",
     "test_pallas_kstep_skew",
+    "test_pallas_kstep_skew2d",
     "test_pallas_rdma",
     "test_pallas_resident",
     "test_pallas_resident_rdma",

@@ -13,14 +13,18 @@ device MLUPS (round-2 VERDICT item 2). This kernel combines two fixes:
   shared fix kernel (pallas_kstep_skew.make_skew_fix), full-width, covering
   every strip at once. Compute/owned ratio in y: 1.0.
 
-- **x: narrow compute.** The +-128-column margins exist only for DMA lane
-  alignment; only K columns per side are genuinely needed (window-edge
-  garbage advances one column per step). The compute window is cut to
-  bx + 128 columns (64 genuine margin columns per side — K would suffice,
-  but the compute width must stay a 128-LANE MULTIPLE: a ragged width like
-  bx + 2K = 1040 sends every lane roll down a masked slow path that
-  measured 64% of total step time). One realignment lane roll per plane
-  per chunk, not per step. Compute/owned ratio in x: 1.125 at bx=1024.
+- **x: full-window compute** (default ``mnx = _MX``). Only K columns per
+  side are genuinely needed (window-edge garbage advances one column per
+  step), and the first design computed on a NARROW bx + 2*mnx window
+  (mnx=64) with one realignment lane roll per plane per chunk (a ragged
+  width like bx + 2K = 1040 sends every lane roll down a masked slow path
+  measured at 64% of step time, so the narrow width must stay a 128-lane
+  multiple). Measured on hardware, though, the full 1280-wide compute
+  BEATS the 1152-wide narrow window by 7.5% at 4096^2 (748 vs 803
+  us/step, docs/measurements/round3.md): the realignment roll plus the
+  offset slicing cost more than the 11% extra collide width they save.
+  ``mnx`` remains a parameter for A/B. Compute/owned ratio in x: 1.25 at
+  bx=1024 (nominal — the margin columns ride the same VPU pipeline).
 
 Together: ~0.54x the VPU work of the classic 2-D tiling per owned cell,
 plus a ~1.22x smaller HBM read (no y-margin rows are fetched).
@@ -125,10 +129,11 @@ def _kernel(
     w2: float,
     slots: int = 2,
     collide_split: int = 1,
+    mnx: int = _MX // 2,      # compute-margin columns per side (static;
+                              # _MX = full-window compute, no realignment)
 ):
     k = k_steps
     mx = _MX
-    mnx = _MX // 2            # narrow-window margin columns per side
     wx = bx + 2 * mx
     wxn = bx + 2 * mnx        # narrow compute width (128-lane multiple)
     sxw = wxn                 # slab storage width
@@ -257,9 +262,14 @@ def _kernel(
     # col x0 to col 0 instead; the wrapped tail cols land beyond wxn and
     # are cut by the slice.
     x0 = mx - mnx
-    w = [pltpu.roll(fbuf[slot, c], wx - x0, 1)[_PAD : _PAD + by, :wxn]
-         for c in range(NSPEEDS)]
-    o_win = pltpu.roll(obuf[slot], wx - x0, 1)[:, :wxn]  # (BY+8, wxn)
+    if x0:
+        w = [pltpu.roll(fbuf[slot, c], wx - x0, 1)[_PAD : _PAD + by, :wxn]
+             for c in range(NSPEEDS)]
+        o_win = pltpu.roll(obuf[slot], wx - x0, 1)[:, :wxn]  # (BY+8, wxn)
+    else:
+        # full-window compute (mnx == _MX): no realignment needed
+        w = [fbuf[slot, c][_PAD : _PAD + by, :] for c in range(NSPEEDS)]
+        o_win = obuf[slot]
     a_glob = scal_ref[0, 0]
     shard_off = scal_ref[0, 1]
     base = shard_off + i * by
@@ -366,6 +376,7 @@ def make_skew2d(
     slots: int = 2,
     alias_donor: bool = False,
     collide_split: int = 1,
+    mnx: Optional[int] = None,
 ):
     """Returns ``(prepare, chunk)`` with the same contract as
     pallas_kstep_skew.make_skew (see that docstring) over (BY, BX) tiles."""
@@ -382,12 +393,17 @@ def make_skew2d(
     if interpret is None:
         interpret = jax.devices()[0].platform == "cpu"
     nrow, ncol = h // by, nx // bx
-    sxw = bx + _MX  # narrow window width (see _kernel)
+    if mnx is None:
+        mnx = _MX  # full-window compute (measured fastest; see module doc)
+    if mnx % 64 or not 0 < mnx <= _MX or (bx + 2 * mnx) % 128:
+        raise ValueError(f"bad skew2d compute margin mnx={mnx} for bx={bx}")
+    sxw = bx + 2 * mnx  # narrow compute / slab width (see _kernel)
 
     kernel = functools.partial(
         _kernel, by=by, bx=bx, nx=nx, h=h, k_steps=k_steps,
         ny_global=ny_global, omega=float(omega), w1=float(accel_w1),
         w2=float(accel_w2), slots=slots, collide_split=collide_split,
+        mnx=mnx,
     )
 
     in_specs = [
