@@ -38,8 +38,9 @@ def _case(ny, nx, seed=3, p_block=0.1):
     return p, jnp.asarray(mask)
 
 
-def _run(p, obst, n, n_dev=1, tile=(24, 256), mnx=None, donor=True):
-    maker = functools.partial(sk2.make_skew2d, mnx=mnx)
+def _run(p, obst, n, n_dev=1, tile=(24, 256), mnx=None, donor=True,
+         reuse=False):
+    maker = functools.partial(sk2.make_skew2d, mnx=mnx, local_reuse=reuse)
     r = _make_skew_runner(p, n, get_mesh(n_devices=n_dev), maker=maker,
                           tile=tile, alias_donor=donor)
     return r(initial_state(p), obst)
@@ -70,13 +71,15 @@ def test_skew2d_mnx_variants_match_oracle(mnx):
     np.testing.assert_allclose(np.asarray(av), np.asarray(av_ref), rtol=2e-5)
 
 
-def test_skew2d_ring_and_remainder_matches_oracle():
+@pytest.mark.parametrize("reuse", [True, False])
+def test_skew2d_ring_and_remainder_matches_oracle(reuse):
     """2-shard ring (fix band + output slab cross shards) plus a sub-K
-    remainder chunk falling back to the classic 2-D kernel."""
+    remainder chunk falling back to the classic 2-D kernel; with and
+    without the left-margin VMEM reuse / merged main+right fetch."""
     p, obst = _case(96, 2048, seed=11)
     n = 19
     f_ref, av_ref = run_steps(initial_state(p), obst, p, n)
-    f, av = _run(p, obst, n, n_dev=2, tile=(24, 512))
+    f, av = _run(p, obst, n, n_dev=2, tile=(24, 512), reuse=reuse)
     assert np.array_equal(np.asarray(f), np.asarray(f_ref))
     np.testing.assert_allclose(np.asarray(av), np.asarray(av_ref), rtol=2e-5)
 

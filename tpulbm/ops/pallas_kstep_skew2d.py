@@ -115,7 +115,7 @@ def _kernel(
     slab,         # (K*9*2, ncol*SXW) VMEM: per-strip two-row state slabs
                   # (strips along LANES so every row offset is static and
                   # the dynamic lane offset is a 128-multiple)
-    sem_f, sem_o, sem_out,  # DMA semaphores (slots,)
+    sem_f, sem_o, sem_out, sem_l,  # DMA semaphores (slots,)
     acc,          # (K, 1) SMEM
     *,
     by: int,
@@ -131,6 +131,7 @@ def _kernel(
     collide_split: int = 1,
     mnx: int = _MX // 2,      # compute-margin columns per side (static;
                               # _MX = full-window compute, no realignment)
+    local_reuse: bool = False,
 ):
     k = k_steps
     mx = _MX
@@ -151,14 +152,21 @@ def _kernel(
     pair_symmetric = window_step.PAIR_SYMMETRIC_DEFAULT
 
     # -- input DMAs ----------------------------------------------------------
-    def col_pieces(b_col):
+    def col_pieces(b_col, with_left=True, merged=None):
         # (src_col, dst_col, width); modular offsets give the real x wrap,
-        # always 128-aligned and in range (as in pallas_kstep2d).
+        # always 128-aligned and in range (as in pallas_kstep2d). With
+        # ``local_reuse`` the left margin comes from the previous window's
+        # VMEM (with_left=False) and main+right merge into ONE contiguous
+        # HBM run wherever the right margin doesn't wrap (merged=True) —
+        # together they eliminate every small strided margin fetch except
+        # the j == 0 wrap column.
         left = jax.lax.rem(b_col * bx - mx + nx, nx)
         main = b_col * bx
         right = jax.lax.rem((b_col + 1) * bx, nx)
-        return [
-            (pl.multiple_of(left, mx), 0, mx),
+        pieces = [] if not with_left else [(pl.multiple_of(left, mx), 0, mx)]
+        if merged:
+            return pieces + [(pl.multiple_of(main, mx), mx, bx + mx)]
+        return pieces + [
             (pl.multiple_of(main, mx), mx, bx),
             (pl.multiple_of(right, mx), mx + bx, mx),
         ]
@@ -171,58 +179,118 @@ def _kernel(
             (b_row != 0, b_row * by - _PAD, by + _PAD, 0),
         ]
 
-    def start_dmas(b_row, b_col, s):
-        pieces = col_pieces(b_col)
+    def _dmas(b_row, b_col, s, is_wait, with_left):
+        # Start or wait the window's HBM copies. The start/wait predicate
+        # structure must be IDENTICAL for matching semaphore counts; the
+        # main+right merge is itself predicated on whether the right margin
+        # wraps (only the last column tile wraps).
         frow = pl.multiple_of(b_row * by, 8)
-        for src_c, dst_c, wdt in pieces:
-            pltpu.make_async_copy(
-                f_ref.at[:, pl.ds(frow, by), pl.ds(src_c, wdt)],
-                fbuf.at[s, :, pl.ds(_PAD, by), pl.ds(dst_c, wdt)],
-                sem_f.at[s],
-            ).start()
-        for pred, src_lo, sz, dst_lo in obst_rows(b_row):
-            @pl.when(pred)
-            def _(src_lo=src_lo, sz=sz, dst_lo=dst_lo):
-                src_r = pl.multiple_of(jnp.clip(src_lo, 0, h - sz), 8)
-                for src_c, dst_c, wdt in pieces:
-                    pltpu.make_async_copy(
-                        obst_ref.at[pl.ds(src_r, sz), pl.ds(src_c, wdt)],
-                        obuf.at[s, pl.ds(dst_lo, sz), pl.ds(dst_c, wdt)],
-                        sem_o.at[s],
-                    ).start()
 
-    def wait_dmas(b_row, b_col, s):
-        pieces = col_pieces(b_col)
-        frow = pl.multiple_of(b_row * by, 8)
-        for src_c, dst_c, wdt in pieces:
-            pltpu.make_async_copy(
-                f_ref.at[:, pl.ds(frow, by), pl.ds(src_c, wdt)],
-                fbuf.at[s, :, pl.ds(_PAD, by), pl.ds(dst_c, wdt)],
-                sem_f.at[s],
-            ).wait()
-        for pred, src_lo, sz, dst_lo in obst_rows(b_row):
-            @pl.when(pred)
-            def _(src_lo=src_lo, sz=sz, dst_lo=dst_lo):
-                src_r = pl.multiple_of(jnp.clip(src_lo, 0, h - sz), 8)
-                for src_c, dst_c, wdt in pieces:
-                    pltpu.make_async_copy(
-                        obst_ref.at[pl.ds(src_r, sz), pl.ds(src_c, wdt)],
-                        obuf.at[s, pl.ds(dst_lo, sz), pl.ds(dst_c, wdt)],
-                        sem_o.at[s],
-                    ).wait()
+        def go(pieces):
+            for src_c, dst_c, wdt in pieces:
+                c = pltpu.make_async_copy(
+                    f_ref.at[:, pl.ds(frow, by), pl.ds(src_c, wdt)],
+                    fbuf.at[s, :, pl.ds(_PAD, by), pl.ds(dst_c, wdt)],
+                    sem_f.at[s],
+                )
+                c.wait() if is_wait else c.start()
+            for pred, src_lo, sz, dst_lo in obst_rows(b_row):
+                @pl.when(pred)
+                def _(src_lo=src_lo, sz=sz, dst_lo=dst_lo):
+                    src_r = pl.multiple_of(jnp.clip(src_lo, 0, h - sz), 8)
+                    for src_c, dst_c, wdt in pieces:
+                        c = pltpu.make_async_copy(
+                            obst_ref.at[pl.ds(src_r, sz), pl.ds(src_c, wdt)],
+                            obuf.at[s, pl.ds(dst_lo, sz), pl.ds(dst_c, wdt)],
+                            sem_o.at[s],
+                        )
+                        c.wait() if is_wait else c.start()
+
+        if local_reuse and ncol > 1:
+            @pl.when(b_col != ncol - 1)
+            def _():
+                go(col_pieces(b_col, with_left, merged=True))
+
+            @pl.when(b_col == ncol - 1)
+            def _():
+                go(col_pieces(b_col, with_left, merged=False))
+        else:
+            go(col_pieces(b_col, with_left, merged=False))
+
+    def start_dmas(b_row, b_col, s, with_left=True):
+        _dmas(b_row, b_col, s, False, with_left)
+
+    def wait_dmas(b_row, b_col, s, with_left=True):
+        _dmas(b_row, b_col, s, True, with_left)
+
+    def local_left(src_s, dst_s, do_start):
+        # Left margin of the NEXT window (same row block, next column tile)
+        # = the tail of THIS window's main piece: a contiguous VMEM-to-VMEM
+        # copy replaces the strided HBM margin fetch (the kstep2d trick).
+        # Full window rows — pad rows copy garbage, absorbed by the margin
+        # analysis exactly as for the HBM path.
+        fc = pltpu.make_async_copy(
+            fbuf.at[src_s, :, :, pl.ds(bx, mx)],
+            fbuf.at[dst_s, :, :, pl.ds(0, mx)],
+            sem_l.at[dst_s],
+        )
+        oc = pltpu.make_async_copy(
+            obuf.at[src_s, :, pl.ds(bx, mx)],
+            obuf.at[dst_s, :, pl.ds(0, mx)],
+            sem_l.at[dst_s],
+        )
+        if do_start:
+            fc.start()
+            oc.start()
+        else:
+            fc.wait()
+            oc.wait()
 
     nxt = lin + 1
+    nxt_j = jax.lax.rem(nxt, ncol)
     have_next = nxt < n
 
-    @pl.when(lin == 0)
-    def _():
-        start_dmas(jnp.int32(0), jnp.int32(0), 0)
+    if local_reuse and ncol > 1:
+        # Wait the inbound local left-margin copy FIRST: it reads the other
+        # slot's main-piece tail, which the prefetch below overwrites.
+        @pl.when(j != 0)
+        def _():
+            local_left(nslot, slot, False)
 
-    @pl.when(have_next)
-    def _():
-        start_dmas(nxt // ncol, jax.lax.rem(nxt, ncol), nslot)
+        @pl.when(lin == 0)
+        def _():
+            start_dmas(jnp.int32(0), jnp.int32(0), 0, with_left=True)
 
-    wait_dmas(i, j, slot)
+        @pl.when(have_next & (nxt_j == 0))
+        def _():
+            start_dmas(nxt // ncol, nxt_j, nslot, with_left=True)
+
+        @pl.when(have_next & (nxt_j != 0))
+        def _():
+            start_dmas(nxt // ncol, nxt_j, nslot, with_left=False)
+
+        @pl.when(j == 0)
+        def _():
+            wait_dmas(i, j, slot, with_left=True)
+
+        @pl.when(j != 0)
+        def _():
+            wait_dmas(i, j, slot, with_left=False)
+
+        # This window is complete — hand its main-piece tail to the next.
+        @pl.when(have_next & (nxt_j != 0))
+        def _():
+            local_left(slot, nslot, True)
+    else:
+        @pl.when(lin == 0)
+        def _():
+            start_dmas(jnp.int32(0), jnp.int32(0), 0)
+
+        @pl.when(have_next)
+        def _():
+            start_dmas(nxt // ncol, nxt_j, nslot)
+
+        wait_dmas(i, j, slot)
 
     # -- output staging ------------------------------------------------------
     def out_copy(b_row, b_col, s):
@@ -377,6 +445,7 @@ def make_skew2d(
     alias_donor: bool = False,
     collide_split: int = 1,
     mnx: Optional[int] = None,
+    local_reuse: bool = False,  # measured 0.7% SLOWER at 4096^2 — A/B knob
 ):
     """Returns ``(prepare, chunk)`` with the same contract as
     pallas_kstep_skew.make_skew (see that docstring) over (BY, BX) tiles."""
@@ -403,7 +472,7 @@ def make_skew2d(
         _kernel, by=by, bx=bx, nx=nx, h=h, k_steps=k_steps,
         ny_global=ny_global, omega=float(omega), w1=float(accel_w1),
         w2=float(accel_w2), slots=slots, collide_split=collide_split,
-        mnx=mnx,
+        mnx=mnx, local_reuse=local_reuse,
     )
 
     in_specs = [
@@ -441,6 +510,7 @@ def make_skew2d(
             pltpu.VMEM((slots, by + _PAD, bx + 2 * _MX), jnp.float32),
             pltpu.VMEM((slots, NSPEEDS, by, bx), jnp.float32),
             pltpu.VMEM((k_steps * NSPEEDS * 2, ncol * sxw), jnp.float32),
+            pltpu.SemaphoreType.DMA((slots,)),
             pltpu.SemaphoreType.DMA((slots,)),
             pltpu.SemaphoreType.DMA((slots,)),
             pltpu.SemaphoreType.DMA((slots,)),
