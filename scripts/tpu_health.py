@@ -13,7 +13,10 @@ benchmark numbers are meaningless.
 import sys
 import time
 
-NOMINAL_US = 78.0
+# Healthy-window end-to-end wall on the skew-era production runner:
+# 1.110 s / 20000 steps = 55.5 us/step (bench_artifacts/1024x1024.json
+# @73d18e5; device 40.8). The pre-skew nominal was 78.
+NOMINAL_US = 55.5
 
 
 def main():
