@@ -124,6 +124,10 @@ class Simulation:
             if metrics_file and chunk == total:
                 chunk = max(1, min(total, 1000))
         chunk = max(1, min(chunk, total))
+        if metrics_file:
+            parent = os.path.dirname(metrics_file)
+            if parent:
+                os.makedirs(parent, exist_ok=True)
         metrics_fp = open(metrics_file, "a") if metrics_file else None
         t0 = time.perf_counter()
         done = 0
