@@ -5,7 +5,7 @@ PY ?= python
 DECK ?= 128x128
 OUT ?= out
 
-.PHONY: all test test-all check run bench native clean profile
+.PHONY: all test test-all check run bench bench-all native clean profile
 
 all: native
 
@@ -55,6 +55,11 @@ check: run
 
 bench:
 	$(PY) bench.py
+
+# Regenerate the committed per-deck bench artifacts (bench_artifacts/*.json,
+# wall + device + window tag + commit) that the README/BENCHMARKS tables cite.
+bench-all:
+	bash scripts/bench_all.sh
 
 # Capture an xprof trace of the step loop — the `make profile` equivalent
 # (reference Makefile:30-31 + MPI_Pcontrol brackets).
