@@ -112,9 +112,9 @@ def _kernel(
     fbuf,         # (slots, 9, BY+8, BX+256) VMEM; valid rows at [8, 8+BY)
     obuf,         # (slots, BY+8, BX+256) VMEM
     vstage,       # (slots, 9, BY, BX) VMEM output staging
-    slab,         # (K*9*2, ncol*SXW) VMEM: per-strip two-row state slabs
-                  # (strips along LANES so every row offset is static and
-                  # the dynamic lane offset is a 128-multiple)
+    slab,         # (ncol, K*9*2, SXW) VMEM: per-strip two-row state slabs
+                  # (strip index on the leading BATCH dim — lane offsets
+                  # must stay static or Mosaic's roll fusion breaks)
     sem_f, sem_o, sem_out, sem_l,  # DMA semaphores (slots,)
     acc,          # (K, 1) SMEM
     *,
@@ -343,12 +343,14 @@ def _kernel(
     base = shard_off + i * by
     row_ids = jax.lax.broadcasted_iota(jnp.int32, (by, wxn), 0)
     junk6 = jnp.zeros((_PAD - 2, wxn), jnp.float32)
-    scol0 = pl.multiple_of(j * sxw, 128)  # this strip's slab lanes
 
     skip = window_step.COST_SKIP  # instrumentation only (trace-time)
     for s in range(k):
-        subs = [slab[pl.ds((s * NSPEEDS + c) * 2, 2),
-                     pl.ds(scol0, wxn)]
+        # Strip index on the LEADING (batch) slab dim: lane offsets stay
+        # STATIC. A dynamic lane offset here (the original j*sxw layout)
+        # broke Mosaic's roll fusion for every downstream plane — measured
+        # +34.7 us/step of materialized rolls at 4 strips (round-3 log).
+        subs = [slab[j, pl.ds((s * NSPEEDS + c) * 2, 2), :]
                 for c in range(NSPEEDS)]
         if "accel" not in skip:
             free_v = o_win[_PAD : _PAD + by, :] == zero
@@ -358,8 +360,8 @@ def _kernel(
             w = window_step.accel_update(w, sel_free, w1f, w2f)
         if "sub" not in skip:
             for c in range(NSPEEDS):
-                slab[pl.ds((s * NSPEEDS + c) * 2, 2),
-                     pl.ds(scol0, wxn)] = w[c][by - 2 : by, :]
+                slab[j, pl.ds((s * NSPEEDS + c) * 2, 2), :] = \
+                    w[c][by - 2 : by, :]
         t = []
         for c in range(NSPEEDS):
             if "sub" not in skip:
@@ -509,7 +511,7 @@ def make_skew2d(
                        jnp.float32),
             pltpu.VMEM((slots, by + _PAD, bx + 2 * _MX), jnp.float32),
             pltpu.VMEM((slots, NSPEEDS, by, bx), jnp.float32),
-            pltpu.VMEM((k_steps * NSPEEDS * 2, ncol * sxw), jnp.float32),
+            pltpu.VMEM((ncol, k_steps * NSPEEDS * 2, sxw), jnp.float32),
             pltpu.SemaphoreType.DMA((slots,)),
             pltpu.SemaphoreType.DMA((slots,)),
             pltpu.SemaphoreType.DMA((slots,)),
