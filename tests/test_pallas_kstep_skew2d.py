@@ -91,3 +91,20 @@ def test_mnx_validation():
     with pytest.raises(ValueError):
         sk2.make_skew2d(96, 1024, 8, ny_global=96, omega=1.85,
                         accel_w1=0.1, accel_w2=0.1, tile=(24, 256), mnx=256)
+
+
+def test_production_default_is_full_window():
+    """Pin the measured-fastest configuration (docs/measurements/round3.md):
+    full-window compute, no margin reuse — a silent default flip would
+    regress 4096^2 by ~7.5%."""
+    import inspect
+
+    sig = inspect.signature(sk2.make_skew2d)
+    assert sig.parameters["mnx"].default is None  # None -> _MX in the body
+    assert sig.parameters["local_reuse"].default is False
+    # the body's None resolution: building with defaults must produce the
+    # full-window kernel (sxw == bx + 2*_MX via the scratch shape)
+    prepare, chunk = sk2.make_skew2d(
+        96, 1024, 8, ny_global=96, omega=1.85,
+        accel_w1=0.000055, accel_w2=0.000014, tile=(24, 256))
+    assert chunk is not None
