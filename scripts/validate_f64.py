@@ -89,6 +89,11 @@ def run_f64_jax(params, obst, n_steps):
     os.environ.setdefault("JAX_PLATFORMS", "cpu")
     import jax
 
+    # Snapshot the global jax config and restore it on exit: flipping
+    # jax_enable_x64 (and jax_platforms) permanently would silently give any
+    # later in-process f32 framework code x64 promotion semantics.
+    prev_x64 = jax.config.jax_enable_x64
+    prev_platforms = jax.config.jax_platforms
     jax.config.update("jax_platforms", "cpu")
     jax.config.update("jax_enable_x64", True)
     import jax.numpy as jnp
@@ -127,10 +132,14 @@ def run_f64_jax(params, obst, n_steps):
         av = jnp.where(free, jnp.sqrt(usq) / rho, 0.0).sum() * inv_free
         return out, av
 
-    f_final, av = jax.jit(
-        lambda f: jax.lax.scan(step, f, None, length=n_steps)
-    )(f0)
-    return np.asarray(f_final), np.asarray(av)
+    try:
+        f_final, av = jax.jit(
+            lambda f: jax.lax.scan(step, f, None, length=n_steps)
+        )(f0)
+        return np.asarray(f_final), np.asarray(av)
+    finally:
+        jax.config.update("jax_enable_x64", prev_x64)
+        jax.config.update("jax_platforms", prev_platforms)
 
 
 def main():

@@ -103,8 +103,14 @@ def test_production_default_is_full_window():
     assert sig.parameters["mnx"].default is None  # None -> _MX in the body
     assert sig.parameters["local_reuse"].default is False
     # the body's None resolution: building with defaults must produce the
-    # full-window kernel (sxw == bx + 2*_MX via the scratch shape)
+    # full-window kernel — assert the resolved width directly via the
+    # attributes make_skew2d pins on the chunk
     prepare, chunk = sk2.make_skew2d(
         96, 1024, 8, ny_global=96, omega=1.85,
         accel_w1=0.000055, accel_w2=0.000014, tile=(24, 256))
-    assert chunk is not None
+    assert chunk.mnx == sk2._MX
+    assert chunk.sxw == 256 + 2 * sk2._MX
+    assert chunk.local_reuse is False
+    # _kernel itself must not carry a (stale-able) mnx default
+    assert inspect.signature(sk2._kernel).parameters["mnx"].default \
+        is inspect.Parameter.empty

@@ -69,8 +69,10 @@ _WINDOW_BUDGET = 56 * 1024
 def pick_tile(
     h: int, nx: int, budget: Optional[int] = None
 ) -> Optional[Tuple[int, int]]:
-    """(BY, BX) minimizing compute overhead (x narrow ratio) then program
-    count, within the window budget. BY > 2K for the row-0 reduced sums."""
+    """(BY, BX) minimizing compute overhead (the full-window x ratio
+    (bx + 2*_MX)/bx — the production default computes the whole window) then
+    program count, within the window budget. BY > 2K for the row-0 reduced
+    sums."""
     if budget is None:
         budget = _WINDOW_BUDGET
     best = None
@@ -85,7 +87,7 @@ def pick_tile(
             if window > budget:
                 continue
             # x overhead dominates; ties toward larger tiles
-            key = ((bx + _MX) / bx, -by * bx)
+            key = ((bx + 2 * _MX) / bx, -by * bx)
             if best_key is None or key < best_key:
                 best_key = key
                 best = (by, bx)
@@ -129,8 +131,12 @@ def _kernel(
     w2: float,
     slots: int = 2,
     collide_split: int = 1,
-    mnx: int = _MX // 2,      # compute-margin columns per side (static;
-                              # _MX = full-window compute, no realignment)
+    mnx: int,                 # compute-margin columns per side (static;
+                              # _MX = full-window compute, no realignment).
+                              # Required: make_skew2d resolves the production
+                              # default (None -> _MX) — a stale default here
+                              # would hand direct callers the rejected
+                              # 7.5%-slower narrow-window config.
     local_reuse: bool = False,
 ):
     k = k_steps
@@ -541,4 +547,10 @@ def make_skew2d(
             f_out, av = call(f, obst_f, scal)
             return f_out, av[:, 0]
 
+    # Resolved configuration, introspectable by tests pinning the production
+    # defaults (full-window compute, no margin reuse).
+    chunk.mnx = mnx
+    chunk.sxw = sxw
+    chunk.local_reuse = local_reuse
+    chunk.tile = (by, bx)
     return prepare, chunk
