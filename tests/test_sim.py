@@ -95,6 +95,133 @@ def test_orbax_restore_is_sharded(tmp_path):
     np.testing.assert_array_equal(np.asarray(f), np.asarray(sim.f))
 
 
+def test_plan_chunks_two_sizes_and_cadence_alignment():
+    plan = Simulation._plan_chunks
+    # fresh run, cadence does not divide total: main + one remainder only
+    assert plan(0, 100, 30, 30) == [30, 30, 30, 10]
+    assert plan(0, 20000, 1000, None) == [1000] * 20
+    assert plan(0, 20500, 1000, None) == [1000] * 20 + [500]
+    # mid-cadence resume: one alignment head restores the cadence
+    assert plan(25, 75, 30, 30) == [5, 30, 30, 10]
+    # explicit sub-cadence chunk still ends a chunk at every boundary
+    p = plan(0, 64, 7, 30)
+    assert sum(p) == 64
+    cum = np.cumsum(p)
+    assert 30 in cum and 60 in cum
+
+
+def test_at_most_two_runner_compiles_for_nondividing_cadence(
+    tmp_path, monkeypatch
+):
+    """Round-3 verdict item 8: a --checkpoint-every cadence that doesn't
+    divide maxIters must compile at most two runner shapes (main chunk +
+    one remainder), not one per distinct chunk size encountered."""
+    import tpulbm.sim.simulation as sim_mod
+
+    calls = []
+    real = sim_mod.make_runner
+
+    def counting(params, n_steps, **kw):
+        calls.append(n_steps)
+        return real(params, n_steps, **kw)
+
+    monkeypatch.setattr(sim_mod, "make_runner", counting)
+    mesh = get_mesh(n_devices=2)
+    sim = Simulation.from_files(PARAMS, OBST, mesh=mesh, backend="jnp")
+    sim.params = __import__("dataclasses").replace(sim.params, max_iters=100)
+    sim.av_vels = np.zeros(100, dtype=np.float32)
+    sim.run(checkpoint_every=30, checkpoint_dir=tmp_path)
+    assert sim.step_count == 100
+    assert len(set(calls)) <= 2, calls
+    # cadence checkpoints actually fired
+    for step in (30, 60, 90, 100):
+        assert os.path.exists(tmp_path / f"ckpt_{step:08d}.npz"), step
+
+
+def test_resume_mid_cadence_restores_checkpoint_cadence(tmp_path):
+    """After resuming from a checkpoint that is not on the cadence, the next
+    chunk realigns so periodic checkpoints keep firing (previously they
+    silently stopped until the end of the run)."""
+    mesh = get_mesh(n_devices=2)
+    sim = Simulation.from_files(PARAMS, OBST, mesh=mesh, backend="jnp")
+    sim.run(n_steps=25)
+    sim.save_checkpoint(tmp_path)
+
+    resumed = Simulation.from_files(PARAMS, OBST, mesh=mesh, backend="jnp")
+    resumed.restore_checkpoint(tmp_path)
+    resumed.run(n_steps=75, checkpoint_every=30, checkpoint_dir=tmp_path)
+    for step in (30, 60, 90, 100):
+        assert os.path.exists(tmp_path / f"ckpt_{step:08d}.npz"), step
+
+
+def test_orbax_corrupt_checkpoint_raises(tmp_path):
+    """A corrupt orbax checkpoint must RAISE, not silently downgrade to the
+    host-gathered restore path (round-3 verdict item 7): only a tree-schema
+    mismatch is a legitimate fallback."""
+    import glob
+
+    import pytest
+
+    mesh = get_mesh(n_devices=4)
+    sim = Simulation.from_files(PARAMS, OBST, mesh=mesh, backend="jnp",
+                                ckpt_backend="orbax")
+    sim.run(n_steps=8)
+    ck = sim.save_checkpoint(tmp_path)
+
+    # flip bytes in the largest stored file (a data/manifest blob)
+    files = [p for p in glob.glob(os.path.join(ck, "**"), recursive=True)
+             if os.path.isfile(p)]
+    victim = max(files, key=os.path.getsize)
+    with open(victim, "r+b") as fh:
+        fh.seek(10)
+        fh.write(b"\xff" * 64)
+
+    resumed = Simulation.from_files(PARAMS, OBST, mesh=mesh, backend="jnp")
+    with pytest.raises(Exception) as exc_info:
+        resumed.restore_checkpoint(tmp_path)
+    # the corruption must not be mistaken for a schema mismatch and
+    # swallowed — the restore fails outright
+    assert not isinstance(exc_info.value, FileNotFoundError)
+
+
+def test_orbax_schema_mismatch_downgrades_loudly(tmp_path, capsys):
+    """A checkpoint written under an older params schema (different tree
+    keys) downgrades to the host-gathered target-less restore — and says so
+    on stderr instead of silently host-gathering."""
+    import dataclasses
+
+    import orbax.checkpoint as ocp
+
+    from tpulbm.core.params import LBMParams
+
+    mesh = get_mesh(n_devices=4)
+    sim = Simulation.from_files(PARAMS, OBST, mesh=mesh, backend="jnp",
+                                ckpt_backend="orbax")
+    sim.run(n_steps=8)
+
+    # hand-write a checkpoint whose params tree is missing a field, as an
+    # older release would have produced
+    old_params = dataclasses.asdict(sim.params)
+    old_params.pop("reynolds_dim")
+    path = os.path.join(tmp_path, "ckpt_00000008.orbax")
+    ckptr = ocp.StandardCheckpointer()
+    ckptr.save(os.path.abspath(path), {
+        "step": np.int64(8),
+        "f": np.asarray(sim.f),
+        "av_vels": np.asarray(sim.av_vels[:8], dtype=np.float32),
+        "params": old_params,
+    }, force=True)
+    ckptr.wait_until_finished()
+    ckptr.close()
+
+    resumed = Simulation.from_files(PARAMS, OBST, mesh=mesh, backend="jnp")
+    resumed.restore_checkpoint(tmp_path)
+    assert resumed.step_count == 8
+    np.testing.assert_array_equal(np.asarray(resumed.f), np.asarray(sim.f))
+    err = capsys.readouterr().err
+    assert "schema mismatch" in err and "host-gathered" in err
+
+
 def test_cli_end_to_end(tmp_path):
     from tpulbm.cli import main
 

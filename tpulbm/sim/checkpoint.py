@@ -122,9 +122,22 @@ def _orbax_restore(path, abstract_f=None):
                             restore_args=restore_args
                         ),
                     )
-                except Exception:
-                    # e.g. a checkpoint written by an older params schema —
-                    # fall back to the host-gathered path below
+                except (ValueError, KeyError) as e:
+                    # ONLY a tree-schema mismatch (e.g. a checkpoint written
+                    # by an older params schema — orbax raises ValueError
+                    # "Dict key mismatch ..." / KeyError) downgrades to the
+                    # host-gathered target-less restore below, loudly. Any
+                    # other failure (corrupt shard, I/O error, wrong mesh)
+                    # propagates: silently host-gathering a huge state on a
+                    # real multi-host run is a failure mode, not a fallback.
+                    import sys
+
+                    print(
+                        "warning: sharded orbax restore failed with a "
+                        f"schema mismatch ({type(e).__name__}: {e}); "
+                        "falling back to the host-gathered restore path",
+                        file=sys.stderr,
+                    )
                     state = None
             if state is None:
                 abstract_f = None

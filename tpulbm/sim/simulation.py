@@ -91,12 +91,44 @@ class Simulation:
                    backend=backend, ckpt_backend=ckpt_backend)
 
     def _runner(self, n_steps: int):
+        # Each distinct size compiles its own jitted scan (several minutes at
+        # 4096^2 scale), so run() plans chunk sizes with _plan_chunks to keep
+        # the count at <= 2 per run (main + one remainder); the cache makes
+        # repeated sizes free across run() calls.
         key = n_steps
         if key not in self._runners:
             self._runners[key] = make_runner(
                 self.params, n_steps, mesh=self.mesh, backend=self.backend
             )
         return self._runners[key]
+
+    @staticmethod
+    def _plan_chunks(start: int, total: int, chunk: int,
+                     cadence: Optional[int]) -> list:
+        """Chunk sizes covering ``[start, start + total)`` such that every
+        multiple of ``cadence`` inside the range ends a chunk (so periodic
+        checkpoints actually fire, including after a mid-cadence resume).
+
+        Compile-cost guarantee: at most two distinct sizes (the main chunk +
+        one remainder) when ``start`` sits on a cadence boundary — the fresh-
+        run case — so at most two runner compiles per run. A mid-cadence
+        resume adds one alignment head (a third size) to restore the cadence.
+        """
+        sizes = []
+        pos = start
+        end = start + total
+        if cadence:
+            head = min((-pos) % cadence, end - pos)
+            if head:
+                sizes.append(min(head, chunk))
+                pos += sizes[-1]
+        while pos < end:
+            n = min(chunk, end - pos)
+            if cadence:
+                n = min(n, (-pos) % cadence or cadence)
+            sizes.append(n)
+            pos += n
+        return sizes
 
     def run(
         self,
@@ -129,11 +161,13 @@ class Simulation:
             if parent:
                 os.makedirs(parent, exist_ok=True)
         metrics_fp = open(metrics_file, "a") if metrics_file else None
+        plan = self._plan_chunks(
+            self.step_count, total, chunk, checkpoint_every
+        )
         t0 = time.perf_counter()
         done = 0
         try:
-            while done < total:
-                n = min(chunk, total - done)
+            for n in plan:
                 runner = self._runner(n)
                 self.f, av = runner(self.f, self.obstacles)
                 av_np = np.asarray(av)
