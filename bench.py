@@ -46,6 +46,18 @@ def log(msg):
     print(msg, file=sys.stderr, flush=True)
 
 
+def should_write_artifact(existing, new, force=False):
+    """Guard committed bench artifacts against silent regression: a
+    healthy-window artifact is never overwritten by a degraded/unknown-window
+    sample unless forced (the degraded sample's wall is co-tenant queueing,
+    not framework speed — BENCHMARKS.md 'Measurement basis')."""
+    if force or existing is None:
+        return True
+    if existing.get("window") == "healthy" and new.get("window") != "healthy":
+        return False
+    return True
+
+
 def device_loop_seconds(trace_dir):
     """Sum of top-level jit program durations on the TPU timeline of an
     xprof trace — the chip-time our program actually executed, independent
@@ -213,10 +225,23 @@ def main():
             "commit": os.popen("git rev-parse --short HEAD 2>/dev/null")
             .read().strip() or None,
         })
-        with open(out_file, "w") as fh:
-            json.dump(art, fh, indent=1)
-            fh.write("\n")
-        log(f"artifact -> {out_file}")
+        existing = None
+        if os.path.exists(out_file):
+            try:
+                with open(out_file) as fh:
+                    existing = json.load(fh)
+            except Exception:
+                existing = None
+        if should_write_artifact(existing, art,
+                                 force="--force-artifact" in sys.argv):
+            with open(out_file, "w") as fh:
+                json.dump(art, fh, indent=1)
+                fh.write("\n")
+            log(f"artifact -> {out_file}")
+        else:
+            log(f"REFUSING to overwrite healthy-window artifact {out_file} "
+                f"with a {art['window']}-window sample (pass "
+                "--force-artifact to override)")
     print(json.dumps(out))
 
 

@@ -1,0 +1,61 @@
+"""Benchmark-infrastructure invariants (no TPU needed).
+
+Round-3 verdict item 9: committed bench artifacts must not silently regress
+to degraded-window samples, and the health probe's nominal must track the
+committed healthy wall.
+"""
+
+import importlib.util
+import json
+import os
+import re
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def _load(name, path):
+    spec = importlib.util.spec_from_file_location(name, path)
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    return mod
+
+
+def test_should_write_artifact_guard():
+    bench = _load("bench", os.path.join(REPO, "bench.py"))
+    healthy = {"window": "healthy"}
+    degraded = {"window": "degraded"}
+    unknown = {"window": "unknown"}
+    g = bench.should_write_artifact
+    # no prior artifact: anything may land
+    assert g(None, degraded)
+    # healthy may replace anything
+    assert g(healthy, healthy)
+    assert g(degraded, healthy)
+    assert g(unknown, healthy)
+    # degraded/unknown may NOT silently replace healthy ...
+    assert not g(healthy, degraded)
+    assert not g(healthy, unknown)
+    # ... unless forced
+    assert g(healthy, degraded, force=True)
+    # degraded-over-degraded refreshes are fine (newer commit field)
+    assert g(degraded, degraded)
+
+
+def test_tpu_health_nominal_tracks_committed_artifact():
+    """NOMINAL_US must equal the committed healthy-window 1024^2 wall
+    (us/step): a kernel-era change that lands a new healthy artifact without
+    recalibrating the health probe fails here (round-3 verdict item 9)."""
+    with open(os.path.join(REPO, "bench_artifacts", "1024x1024.json")) as fh:
+        art = json.load(fh)
+    assert art["window"] == "healthy", (
+        "the headline 1024^2 artifact itself must be a healthy-window sample"
+    )
+    steps = int(re.search(r"_(\d+)steps", art["metric"]).group(1))
+    wall_us = art["wall_s"] / steps * 1e6
+
+    src = open(os.path.join(REPO, "scripts", "tpu_health.py")).read()
+    nominal = float(re.search(r"^NOMINAL_US = ([0-9.]+)", src, re.M).group(1))
+    assert abs(nominal - wall_us) / wall_us < 0.05, (
+        f"scripts/tpu_health.py NOMINAL_US={nominal} is stale vs the "
+        f"committed healthy artifact ({wall_us:.1f} us/step) — recalibrate"
+    )
