@@ -1,0 +1,147 @@
+"""Compile-level evidence for the in-kernel-RDMA halo design.
+
+The reference proves its comm/compute overlap with measured ladders
+(report.odt opt-4 table); multi-chip hardware is unavailable here, so the
+strongest available analog is the lowered program itself (round-3 verdict
+item 6): for a 2-device mesh,
+
+- the ppermute runner's step loop must contain exactly the TWO designed
+  XLA collective-permutes per K-chunk (the up/down K-row halo slabs,
+  dist/runner._make_kstep_runner), and
+- the RDMA runners' step loops must contain ZERO XLA collectives — all
+  halo traffic rides inside the Mosaic kernel via make_async_remote_copy
+  (ops/pallas_kstep_rdma.py, ops/pallas_resident_rdma.py) — with the only
+  module-level collectives being the one-time obstacle-halo exchange before
+  the loop and the single deferred psum after it (the analog of the
+  reference's single post-loop MPI_Reduce, d2q9-bgk.c:396).
+
+The kernels are lowered GENUINELY (interpret=False -> tpu_custom_call) via
+cross-platform export for the TPU from this CPU-mesh process; this is the
+same lowering a real multi-chip run compiles. Incidentally this also pins
+that the RDMA kernels lower for hardware at all — their entry barrier +
+collective_id pairing is validated by Mosaic during this export (a latent
+lowering failure lived here through round 3, interpret mode never caught
+it).
+"""
+
+import functools
+import re
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from tpulbm.core.params import LBMParams
+from tpulbm.core.state import initial_state
+from tpulbm.dist.mesh import get_mesh
+from tpulbm.dist import runner as R
+from tpulbm.dist.sharding import shard_arrays
+from tpulbm.ops import window_step
+
+
+@pytest.fixture()
+def mosaic_lowering():
+    """Force interpret=None -> False so the export lowers real Mosaic
+    kernels from the CPU test process."""
+    prev = window_step.INTERPRET_DEFAULT_OVERRIDE
+    window_step.INTERPRET_DEFAULT_OVERRIDE = False
+    yield
+    window_step.INTERPRET_DEFAULT_OVERRIDE = prev
+
+
+def _export_tpu(maker, n=16, ny=96, nx=128, ndev=2):
+    import jax.export as je
+
+    params = LBMParams(nx=nx, ny=ny, max_iters=n, reynolds_dim=10,
+                       density=0.1, accel=0.005, omega=1.85)
+    rng = np.random.RandomState(0)
+    mask = rng.rand(ny, nx) < 0.05
+    params = params.with_free_cells(ny * nx - int(mask.sum()))
+    mesh = get_mesh(n_devices=ndev)
+    run = maker(params, n, mesh)
+    f, obst = shard_arrays(mesh, initial_state(params), jnp.asarray(mask))
+    return je.export(run, platforms=["tpu"])(f, obst).mlir_module()
+
+
+def _balanced(txt, i):
+    depth = 0
+    for j in range(i, len(txt)):
+        if txt[j] == "{":
+            depth += 1
+        elif txt[j] == "}":
+            depth -= 1
+            if depth == 0:
+                return txt[i:j + 1], j
+    raise ValueError("unbalanced region")
+
+
+def _functions(txt):
+    funcs = {}
+    for m in re.finditer(r"func\.func\s+(?:private\s+)?@([\w$.]+)", txt):
+        funcs[m.group(1)], _ = _balanced(txt, txt.index("{", m.end()))
+    return funcs
+
+
+def step_loop_region(txt):
+    """Transitive text of every stablehlo.while DO body plus the functions
+    it calls — the step loop as lowered (jax.lax.scan -> while + outlined
+    scan-body function)."""
+    funcs = _functions(txt)
+    regions = []
+    for m in re.finditer(r"stablehlo\.while", txt):
+        _, jend = _balanced(txt, txt.index("{", m.start()))  # cond region
+        mm = re.match(r"\s*do\s*\{", txt[jend + 1:])
+        assert mm, "stablehlo.while without a do region"
+        body, _ = _balanced(txt, jend + 1 + mm.end() - 1)
+        regions.append(body)
+    seen, out, stack = set(), [], list(regions)
+    while stack:
+        r = stack.pop()
+        out.append(r)
+        for cm in re.finditer(r"call\s+@([\w$.]+)", r):
+            fn = cm.group(1)
+            if fn not in seen and fn in funcs:
+                seen.add(fn)
+                stack.append(funcs[fn])
+    assert out, "no step loop found in the module"
+    return "\n".join(out)
+
+
+def _counts(region):
+    return {
+        "collective_permute": len(re.findall(r"collective_permute", region)),
+        "all_reduce": len(re.findall(r"all_reduce", region)),
+        "all_gather": len(re.findall(r"all_gather", region)),
+        "all_to_all": len(re.findall(r"all_to_all", region)),
+        "kernel": len(re.findall(r"tpu_custom_call", region)),
+    }
+
+
+def test_ppermute_runner_loop_has_exactly_two_halo_permutes(mosaic_lowering):
+    txt = _export_tpu(functools.partial(R._make_kstep_runner, k=8))
+    loop = _counts(step_loop_region(txt))
+    assert loop["kernel"] >= 1  # the Mosaic K-step kernel is in the loop
+    # the two designed K-row halo slab exchanges per K-chunk, nothing else
+    assert loop["collective_permute"] == 2, loop
+    assert loop["all_reduce"] == loop["all_gather"] == 0, loop
+    # exactly ONE deferred psum in the whole program, outside the loop
+    assert _counts(txt)["all_reduce"] == 1
+
+
+@pytest.mark.parametrize(
+    "maker", [R._make_rdma_runner, R._make_resident_rdma_runner],
+    ids=["kstep-rdma", "resident-rdma"],
+)
+def test_rdma_runner_loop_has_zero_xla_collectives(mosaic_lowering, maker):
+    txt = _export_tpu(maker)
+    loop = _counts(step_loop_region(txt))
+    assert loop["kernel"] >= 1  # the Mosaic RDMA kernel is in the loop
+    # ALL halo traffic is in-kernel remote DMA: no XLA collectives at all
+    assert loop["collective_permute"] == 0, loop
+    assert loop["all_reduce"] == loop["all_gather"] == 0, loop
+    assert loop["all_to_all"] == 0, loop
+    mod = _counts(txt)
+    # outside the loop: the one-time obstacle-halo exchange (2 permutes)
+    # and the single deferred psum of the av series
+    assert mod["collective_permute"] == 2, mod
+    assert mod["all_reduce"] == 1, mod

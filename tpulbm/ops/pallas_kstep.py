@@ -35,6 +35,7 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from tpulbm.core.lattice import NSPEEDS
+from tpulbm.ops import window_step
 from tpulbm.ops.window_step import fused_window_steps
 
 _MARGIN = 8  # rows of overlap each side; bounds K at 8
@@ -535,7 +536,7 @@ def make_kstep(
             f"kstep kernel unsupported for local shape ({h}, {nx}), K={k_steps}"
         )
     if interpret is None:
-        interpret = jax.devices()[0].platform == "cpu"
+        interpret = window_step.default_interpret()
     n_blocks = h // by
     if row_reuse is None:
         row_reuse = slots == 2   # on wherever the 2-slot pipeline runs

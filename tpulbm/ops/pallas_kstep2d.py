@@ -26,6 +26,7 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from tpulbm.core.lattice import NSPEEDS
+from tpulbm.ops import window_step
 from tpulbm.ops.window_step import fused_window_steps
 
 _MY = 8     # row margin
@@ -643,7 +644,7 @@ def make_kstep2d(
             f"row_inner needs BY >= {_MY + k_steps} and >= 2 row blocks"
         )
     if interpret is None:
-        interpret = jax.devices()[0].platform == "cpu"
+        interpret = window_step.default_interpret()
     # exact_left default OFF: unlike the 1-D kernel's row case (+7%), the
     # column-margin substitution measured 2x SLOWER on hardware at
     # (32, 1024) (2448 vs 1247 us/step device) and pushes (64, 512) over

@@ -49,6 +49,7 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from tpulbm.core.lattice import NSPEEDS
+from tpulbm.ops import window_step
 from tpulbm.ops.window_step import fused_window_steps
 
 _MY = 8     # row margin (Mosaic sublane alignment; bounds K at 8)
@@ -380,7 +381,7 @@ def make_kstep_bands(
         raise ValueError(f"tile {tile} does not divide local shape ({h}, {nx})")
     nb = nx // bw
     if interpret is None:
-        interpret = jax.devices()[0].platform == "cpu"
+        interpret = window_step.default_interpret()
 
     kernel = functools.partial(
         _kernel, by=by, bw=bw, nb=nb, h=h, k_steps=k_steps,

@@ -16,11 +16,14 @@ d2q9-bgk.c:326-366), including its block ordering:
 - the edge-block programs wait on their receive semaphores before
   assembling the window.
 
-Cross-call safety without a barrier: landing buffers and semaphores are
-double-buffered by outer-iteration parity. A device can run at most one
-outer iteration ahead of its neighbours (its own edge blocks wait on slabs
-the neighbour sends at the head of the same iteration), so parity slots can
-never collide.
+Synchronization: each call opens with a neighbour entry barrier
+(``get_barrier_semaphore`` matched to ``collective_id`` — Mosaic requires
+it for remote DMA, and it guarantees the receiver's landing allocation is
+live before the first remote write). Across iterations the landing buffers
+and semaphores are double-buffered by outer-iteration parity: a device can
+run at most one outer iteration ahead of its neighbours (its own edge
+blocks wait on slabs the neighbour sends at the head of the same
+iteration), so parity slots never collide.
 
 Requires K == 8 (the slab height must be the 8-row aligned margin) and at
 least 2 devices; the runner falls back to the ppermute path otherwise.
@@ -41,6 +44,7 @@ from jax.experimental.pallas import tpu as pltpu
 
 from tpulbm.core.lattice import NSPEEDS
 from tpulbm.ops.pallas_kstep import _MARGIN, pick_block_rows
+from tpulbm.ops import window_step
 from tpulbm.ops.window_step import fused_window_steps
 
 MAX_K = _MARGIN
@@ -84,6 +88,7 @@ def _kernel(
     omega: float,
     w1: float,
     w2: float,
+    barrier: bool,
 ):
     m = _MARGIN
     win = by + 2 * m
@@ -132,6 +137,23 @@ def _kernel(
 
     @pl.when(p == 0)
     def _():
+        if barrier:
+            # Entry barrier with the ring neighbours (matched to
+            # collective_id; required by Mosaic for remote DMA): guarantees
+            # the receiver's kernel instance — and so its landing-buffer
+            # allocation — is live before the first remote write lands.
+            # Skipped in interpret mode (get_barrier_semaphore has no CPU
+            # lowering; the interpreter serializes devices anyway).
+            bar = pltpu.get_barrier_semaphore()
+            pltpu.semaphore_signal(
+                bar, inc=1, device_id=nxt,
+                device_id_type=pltpu.DeviceIdType.LOGICAL,
+            )
+            pltpu.semaphore_signal(
+                bar, inc=1, device_id=prv,
+                device_id_type=pltpu.DeviceIdType.LOGICAL,
+            )
+            pltpu.semaphore_wait(bar, 2)
         rdma_fwd().start()
         rdma_bwd().start()
 
@@ -280,7 +302,7 @@ def make_kstep_rdma(
             f"rdma kstep unsupported for local shape ({h}, {nx}), K={k_steps}"
         )
     if interpret is None:
-        interpret = jax.devices()[0].platform == "cpu"
+        interpret = window_step.default_interpret()
     n_blocks = h // by
     n_static = n_blocks
 
@@ -293,7 +315,7 @@ def make_kstep_rdma(
     kernel = functools.partial(
         _kernel, by=by, nx=nx, h=h, k_steps=k_steps, ny_global=ny_global,
         axis_name=axis_name, omega=float(omega), w1=float(accel_w1),
-        w2=float(accel_w2),
+        w2=float(accel_w2), barrier=not interpret,
     )
 
     call = pl.pallas_call(

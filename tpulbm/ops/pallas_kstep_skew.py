@@ -462,7 +462,7 @@ def make_skew(
             f"skew kernel unsupported for local shape ({h}, {nx}), K={k_steps}"
         )
     if interpret is None:
-        interpret = jax.devices()[0].platform == "cpu"
+        interpret = window_step.default_interpret()
     n_blocks = h // by
     k = k_steps
 
@@ -635,7 +635,7 @@ def make_skew_fix(
     """Classic 4K-row seam-band kernel paired with the skewed main kernel:
     ``chunk_fix(band, oband_f, scal) -> (vals (9, 2K, nx), av[k])``."""
     if interpret is None:
-        interpret = jax.devices()[0].platform == "cpu"
+        interpret = window_step.default_interpret()
     k = k_steps
     kernel = functools.partial(
         _fix_kernel, nx=nx, k_steps=k, ny_global=ny_global,

@@ -468,7 +468,7 @@ def make_skew2d(
     if h % by or nx % bx or by < 3 * 8:
         raise ValueError(f"bad skew2d tile {tile} for ({h}, {nx})")
     if interpret is None:
-        interpret = jax.devices()[0].platform == "cpu"
+        interpret = window_step.default_interpret()
     nrow, ncol = h // by, nx // bx
     if mnx is None:
         mnx = _MX  # full-window compute (measured fastest; see module doc)

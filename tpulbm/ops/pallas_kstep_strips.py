@@ -43,6 +43,7 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from tpulbm.core.lattice import NSPEEDS
+from tpulbm.ops import window_step
 from tpulbm.ops.window_step import fused_window_steps
 
 _M = 8       # row margin (sublane alignment; bounds K at 8)
@@ -336,7 +337,7 @@ def make_kstep_strips(
     nb = nx // bx
     wx = bx + 2 * _MX
     if interpret is None:
-        interpret = jax.devices()[0].platform == "cpu"
+        interpret = window_step.default_interpret()
     # by >= m + k keeps block 0's collected slab ahead of its own bottom
     # contamination (see pallas_kstep's slab_all analysis)
     exact = (exact_bottom and k_steps == _M and h // by >= 2

@@ -25,6 +25,7 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from tpulbm.core.lattice import NSPEEDS
+from tpulbm.ops import window_step
 from tpulbm.ops.window_step import fused_window_steps
 
 # VMEM holds four f32 copies of the state at once (ping + pong scratch +
@@ -180,7 +181,7 @@ def make_resident_step_hbm(
             f"resident-hbm kernel unsupported for grid ({ny}, {nx})"
         )
     if interpret is None:
-        interpret = jax.devices()[0].platform == "cpu"
+        interpret = window_step.default_interpret()
 
     kernel = functools.partial(
         _kernel_hbm, ny=ny, nx=nx, accel_row=int(accel_row),
@@ -240,7 +241,7 @@ def make_resident_step(
     if not supported(ny, nx):
         raise ValueError(f"resident kernel unsupported for grid ({ny}, {nx})")
     if interpret is None:
-        interpret = jax.devices()[0].platform == "cpu"
+        interpret = window_step.default_interpret()
 
     kernel = functools.partial(
         _kernel, ny=ny, nx=nx, accel_row=int(accel_row),

@@ -37,6 +37,7 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from tpulbm.core.lattice import NSPEEDS
+from tpulbm.ops import window_step
 from tpulbm.ops.window_step import fused_window_steps
 
 _MARGIN = 8   # RDMA slab height (sublane-aligned); bounds K at 8
@@ -81,6 +82,7 @@ def _kernel(
     omega: float,
     w1: float,
     w2: float,
+    barrier: bool,
 ):
     m = _MARGIN
     t = pl.program_id(0)
@@ -125,6 +127,22 @@ def _kernel(
     # double-buffer invariant.
     @pl.when(t == 0)
     def _():
+        if barrier:
+            # Entry barrier with the ring neighbours (matched to
+            # collective_id; required by Mosaic for remote DMA): the
+            # receiver's landing allocation must be live before the first
+            # remote write lands. Once per kernel call (not per outer
+            # iteration); skipped in interpret mode (no CPU lowering).
+            bar = pltpu.get_barrier_semaphore()
+            pltpu.semaphore_signal(
+                bar, inc=1, device_id=nxt,
+                device_id_type=pltpu.DeviceIdType.LOGICAL,
+            )
+            pltpu.semaphore_signal(
+                bar, inc=1, device_id=prv,
+                device_id_type=pltpu.DeviceIdType.LOGICAL,
+            )
+            pltpu.semaphore_wait(bar, 2)
         starts(f_ref)
         waits(f_ref)
 
@@ -194,12 +212,12 @@ def make_resident_rdma(
             f"resident-rdma unsupported for shard ({h}, {nx}), K={k_steps}"
         )
     if interpret is None:
-        interpret = jax.devices()[0].platform == "cpu"
+        interpret = window_step.default_interpret()
 
     kernel = functools.partial(
         _kernel, h=h, nx=nx, k_steps=k_steps, ny_global=ny_global,
         axis_name=axis_name, omega=float(omega), w1=float(accel_w1),
-        w2=float(accel_w2),
+        w2=float(accel_w2), barrier=not interpret,
     )
 
     call = pl.pallas_call(

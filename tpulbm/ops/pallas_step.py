@@ -33,6 +33,7 @@ from jax.experimental.pallas import tpu as pltpu
 
 from tpulbm.core.lattice import CX, CY, NSPEEDS
 from tpulbm.core import physics
+from tpulbm.ops import window_step
 
 # Target VMEM row-block footprint: BY * nx f32 elements.
 _BLOCK_BUDGET = 32 * 1024
@@ -239,7 +240,7 @@ def make_local_step(
             "use backend='jnp'"
         )
     if interpret is None:
-        interpret = jax.devices()[0].platform == "cpu"
+        interpret = window_step.default_interpret()
     n_blocks = h // by
 
     kernel = functools.partial(

@@ -32,6 +32,18 @@ PAIR_SYMMETRIC_DEFAULT = True
 # stage's share. Production never touches it — physics is wrong when set.
 COST_SKIP: set = set()
 
+# interpret=None resolution for every kernel maker. The override exists for
+# compile-evidence tests that lower genuine Mosaic kernels (interpret=False)
+# from a CPU-mesh process via jax.export(platforms=["tpu"]) — see
+# tests/test_hlo_collectives.py.
+INTERPRET_DEFAULT_OVERRIDE: Optional[bool] = None
+
+
+def default_interpret() -> bool:
+    if INTERPRET_DEFAULT_OVERRIDE is not None:
+        return INTERPRET_DEFAULT_OVERRIDE
+    return jax.devices()[0].platform == "cpu"
+
 
 def x_wrap_patch(v: jnp.ndarray, v_pre: jnp.ndarray, cx: int,
                  x_canon: int) -> jnp.ndarray:
