@@ -5,7 +5,7 @@ PY ?= python
 DECK ?= 128x128
 OUT ?= out
 
-.PHONY: all test test-all check run bench bench-all native clean profile
+.PHONY: all test test-all tpu-smoke check run bench bench-all native clean profile
 
 all: native
 
@@ -22,6 +22,13 @@ test:
 
 test-all:
 	$(PY) -m pytest tests/ -q
+
+# Hardware gate: one chunk of EVERY single-device kernel tier compiled and
+# run on the real TPU, tolerance-gated against the jnp oracle (interpret
+# mode provably diverges from Mosaic — commit 71a72e0). ~40 s warm-cache,
+# ~2 min with cold compiles in a healthy window.
+tpu-smoke:
+	$(PY) scripts/tpu_smoke.py
 
 run:
 	$(PY) -m tpulbm data/input_$(DECK).params data/obstacles_$(DECK).dat --out-dir $(OUT)
