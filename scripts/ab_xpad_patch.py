@@ -1,0 +1,95 @@
+#!/usr/bin/env python
+"""Device-time A/B of the x-extension wrap-patch formulation (unaligned nx).
+
+The periodic x-extension (320^2 -> skew@384) pays (a) the geometric padding
+ratio nxp/nx in compute — irreducible for lane-tiled windows — and (b) the
+wrap re-aim patch: per step, 6 one-lane substitutions lowered as
+iota + full-window where (window_step.x_wrap_patch). This A/B measures (b)'s
+two formulations (`where` vs `.at[].set`, knob window_step.X_PATCH_AT_SET)
+at the two unaligned tier-sweep sizes, alongside their aligned neighbours
+for the ratio. Bitwise-equal physics (tests/test_xpad.py pins it).
+
+    python scripts/ab_xpad_patch.py [--steps 2000]
+"""
+
+import argparse
+import shutil
+import sys
+import tempfile
+import time
+
+sys.path.insert(0, "scripts")
+from bench_device_time import device_loop_seconds  # noqa: E402
+
+
+def log(m):
+    print(m, file=sys.stderr, flush=True)
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--steps", type=int, default=2000)
+    ap.add_argument("--reps", type=int, default=3)
+    args = ap.parse_args()
+
+    import numpy as np
+    import jax
+    import jax.numpy as jnp
+
+    from tpulbm.core.params import LBMParams
+    from tpulbm.core.state import initial_state
+    from tpulbm.dist.mesh import get_mesh
+    from tpulbm.dist.runner import make_runner
+    from tpulbm.ops import window_step
+
+    mesh = get_mesh(n_devices=1)
+    n = args.steps
+
+    cases = [
+        (320, "where", False),
+        (320, "at_set", True),
+        (448, "where", False),
+        (448, "at_set", True),
+        (384, "aligned", False),
+        (512, "aligned", False),
+    ]
+    print(f"{'case':16} {'us/step':>9} {'MLUPS':>9}")
+    for size, name, at_set in cases:
+        p = LBMParams(nx=size, ny=size, max_iters=n, reynolds_dim=100,
+                      density=0.1, accel=0.005, omega=1.85)
+        rng = np.random.RandomState(1)
+        mask = rng.rand(size, size) < 0.1
+        p = p.with_free_cells(size * size - int(mask.sum()))
+        obst = jnp.asarray(np.asarray(mask))
+        window_step.X_PATCH_AT_SET = at_set
+        try:
+            runner = make_runner(p, n, mesh=mesh, backend="pallas")
+            f = initial_state(p)
+            t0 = time.perf_counter()
+            f, av = runner(f, obst)
+            tail = float(av[-1])
+            log(f"{size}/{name}: warmup {time.perf_counter() - t0:.1f}s "
+                f"av[-1]={tail:.6E}")
+        except Exception as e:
+            print(f"{size}^2/{name:8} FAIL {type(e).__name__}: {str(e)[:150]}")
+            continue
+        best = None
+        for rep in range(args.reps):
+            g = initial_state(p)
+            d = tempfile.mkdtemp(prefix="abxp")
+            with jax.profiler.trace(d):
+                g, av = runner(g, obst)
+                _ = float(av[-1])
+            dev = device_loop_seconds(d)
+            shutil.rmtree(d, ignore_errors=True)
+            if dev:
+                best = dev if best is None else min(best, dev)
+                log(f"{size}/{name} rep {rep}: {dev * 1e6 / n:.2f} us/step")
+        if best:
+            print(f"{size}^2/{name:8} {best / n * 1e6:9.2f} "
+                  f"{size * size * n / best / 1e6:9.0f}")
+    window_step.X_PATCH_AT_SET = False
+
+
+if __name__ == "__main__":
+    sys.exit(main())

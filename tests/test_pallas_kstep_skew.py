@@ -60,6 +60,20 @@ def test_skew_matches_oracle(n, n_dev, donor):
     assert av.shape == (n,)
 
 
+def test_skew_absorb_shift_matches_oracle():
+    """absorb_shift replaces the per-step realignment rolls with static
+    sublane-offset slices — the same index algebra, so bitwise-equal
+    (ROADMAP 1024^2 lever; A/B knob)."""
+    p, obst = _random_case(128, 128)
+    n = 16
+    f_ref, av_ref = run_steps(initial_state(p), obst, p, n)
+    r = _make_skew_runner(p, n, get_mesh(n_devices=1), alias_donor=True,
+                          kernel_kw=dict(absorb_shift=True))
+    f, av = r(initial_state(p), obst)
+    assert np.array_equal(np.asarray(f), np.asarray(f_ref))
+    np.testing.assert_allclose(np.asarray(av), np.asarray(av_ref), rtol=2e-5)
+
+
 def test_skew_multiblock_shard(monkeypatch):
     """Small BY forces >= 4 blocks/shard: the slab handoff chains through
     interior blocks and the collide_split path stays bitwise."""

@@ -39,8 +39,10 @@ def _case(ny, nx, seed=3, p_block=0.1):
 
 
 def _run(p, obst, n, n_dev=1, tile=(24, 256), mnx=None, donor=True,
-         reuse=False):
-    maker = functools.partial(sk2.make_skew2d, mnx=mnx, local_reuse=reuse)
+         reuse=False, merged=False, in_slots=None, absorb=False):
+    maker = functools.partial(sk2.make_skew2d, mnx=mnx, local_reuse=reuse,
+                              merged_fetch=merged, in_slots=in_slots,
+                              absorb_shift=absorb)
     r = _make_skew_runner(p, n, get_mesh(n_devices=n_dev), maker=maker,
                           tile=tile, alias_donor=donor)
     return r(initial_state(p), obst)
@@ -57,6 +59,41 @@ def test_skew2d_single_chunk_matches_oracle():
     f, av = _run(p, obst, n, donor=False)
     assert np.array_equal(np.asarray(f), np.asarray(f_ref))
     np.testing.assert_allclose(np.asarray(av), np.asarray(av_ref), rtol=2e-5)
+
+
+def test_skew2d_absorb_shift_matches_oracle():
+    """Static sublane-offset slices instead of the per-step realignment
+    rolls — same index algebra, bitwise-equal (A/B knob)."""
+    p, obst = _case(96, 1024, seed=9)
+    n = 16
+    f_ref, av_ref = run_steps(initial_state(p), obst, p, n)
+    f, av = _run(p, obst, n, absorb=True)
+    assert np.array_equal(np.asarray(f), np.asarray(f_ref))
+    np.testing.assert_allclose(np.asarray(av), np.asarray(av_ref), rtol=2e-5)
+
+
+@pytest.mark.parametrize("merged,in_slots", [(True, None), (False, 3),
+                                             (True, 3), (False, 4)])
+def test_skew2d_fetch_pipeline_variants_match_oracle(merged, in_slots):
+    """The merged contiguous window fetch (1 DMA per non-wrapping strip
+    instead of 3) and the depth-(in_slots-1) input prefetch pipeline are
+    pure data-movement reorganizations — bitwise the same physics. Two
+    chunks so every slot rotation and the edge/interior fetch predicates
+    all fire."""
+    p, obst = _case(96, 1024, seed=5)
+    n = 16
+    f_ref, av_ref = run_steps(initial_state(p), obst, p, n)
+    f, av = _run(p, obst, n, merged=merged, in_slots=in_slots)
+    assert np.array_equal(np.asarray(f), np.asarray(f_ref)), (merged, in_slots)
+    np.testing.assert_allclose(np.asarray(av), np.asarray(av_ref), rtol=2e-5)
+
+
+def test_skew2d_pipeline_validation():
+    p, obst = _case(96, 1024)
+    with pytest.raises(ValueError):
+        _run(p, obst, 8, in_slots=1)                 # in_slots < slots
+    with pytest.raises(ValueError):
+        _run(p, obst, 8, reuse=True, in_slots=3)     # reuse needs depth 1
 
 
 @pytest.mark.parametrize("mnx", [None, 64, 128])

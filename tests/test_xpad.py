@@ -58,6 +58,23 @@ def test_xpad_matches_oracle(ny, nx, n, n_dev):
     assert av.shape == (n,)
 
 
+@pytest.mark.smoke
+def test_x_patch_at_set_mode_is_bitwise_identical(monkeypatch):
+    """The .at[].set() formulation of x_wrap_patch (A/B knob
+    window_step.X_PATCH_AT_SET) is the same one-lane substitution as the
+    iota+where form — the extension must stay EXACT under either."""
+    from tpulbm.ops import window_step
+
+    p, obst = _random_case(128, 250, seed=7)
+    n = 8
+    f_ref, av_ref = run_steps(initial_state(p), obst, p, n)
+    monkeypatch.setattr(window_step, "X_PATCH_AT_SET", True)
+    r = _make_xpad_runner(p, n, get_mesh(n_devices=1))
+    f, av = r(initial_state(p), obst)
+    assert np.array_equal(np.asarray(f), np.asarray(f_ref))
+    np.testing.assert_allclose(np.asarray(av), np.asarray(av_ref), rtol=2e-5)
+
+
 def test_make_runner_routes_unaligned_nx():
     """backend='pallas' must take nx % 128 != 0 via the x extension (the
     reference runs any nx at full speed, d2q9-bgk.c:834-862)."""

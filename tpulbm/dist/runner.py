@@ -467,6 +467,7 @@ def _make_skew_runner(
     tile=None,
     fused_fix: bool | None = None,
     canon_nx: int = 0,
+    kernel_kw: dict | None = None,
 ):
     """Runner over the skewed zero-recompute K-step kernel
     (ops/pallas_kstep_skew.py). Per K-step chunk: the main kernel advances
@@ -505,7 +506,7 @@ def _make_skew_runner(
             h, params.nx, k, ny_global=ny, omega=params.omega,
             accel_w1=params.accel_w1, accel_w2=params.accel_w2,
             by=by, collide_split=collide_split, canon_nx=canon_nx,
-            **fused_kw,
+            **fused_kw, **(kernel_kw or {}),
         )
     else:
         # 2-D tiled skew (wide grids): same chunk/fix/runner contract
@@ -514,6 +515,7 @@ def _make_skew_runner(
             h, params.nx, k, ny_global=ny, omega=params.omega,
             accel_w1=params.accel_w1, accel_w2=params.accel_w2,
             tile=tile, collide_split=collide_split,
+            **(kernel_kw or {}),
         )
     if alias_donor:
         prepare, chunk_k = mk(alias_donor=True)

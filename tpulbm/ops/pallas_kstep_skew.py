@@ -123,6 +123,7 @@ def _kernel(
     top_local: bool = False,
     fix_collide_split: int = 1,
     canon_nx: int = 0,
+    absorb_shift: bool = False,
 ):
     k = k_steps
     i = pl.program_id(0)
@@ -266,7 +267,10 @@ def _kernel(
                     for c in range(NSPEEDS)]
             # inflow acceleration on valid rows (global [base-s, base-s+by))
             if "accel" not in skip:
-                free_v = o_win[_PAD : _PAD + by, :] == zero
+                if absorb_shift:
+                    free_v = o_win[_PAD - s : _PAD - s + by, :] == zero
+                else:
+                    free_v = o_win[_PAD : _PAD + by, :] == zero
                 a_off = jax.lax.rem(
                     a_glob - (base - s) + 2 * ny_global, ny_global)
                 sel_free = (row_ids == a_off) & free_v
@@ -287,9 +291,17 @@ def _kernel(
                 v = jnp.concatenate([junk6, sc, w[c]], axis=0)
                 if "roll" not in skip:
                     r = (1 + CY[c]) % (by + _PAD)
-                    if r:
+                    if absorb_shift:
+                        # roll(v, r)[_PAD : _PAD+by] == v[_PAD-r : _PAD-r+by]
+                        # (no top wrap: _PAD - r >= 6): the +1+CY realignment
+                        # shift absorbed into a static (sub)lane-offset slice
+                        # instead of a materialized roll — ROADMAP lever.
+                        v = v[_PAD - r : _PAD - r + by, :]
+                    elif r:
                         v = pltpu.roll(v, r, 0)
-                    v = v[_PAD : _PAD + by, :]
+                        v = v[_PAD : _PAD + by, :]
+                    else:
+                        v = v[_PAD : _PAD + by, :]
                     if CX[c] != 0:
                         # lane roll after the row slice: by rows, not by+8
                         v_pre = v
@@ -300,8 +312,13 @@ def _kernel(
                 else:
                     v = v[_PAD : _PAD + by, :]
                 t.append(v)
-            o_win = pltpu.roll(o_win, 1, 0)
-            blocked_c = o_win[_PAD : _PAD + by, :] != zero
+            if absorb_shift:
+                # un-rolled obstacle window: step-s valid rows live at the
+                # static offset _PAD - s - 1 after the slide
+                blocked_c = o_win[_PAD - s - 1 : _PAD - s - 1 + by, :] != zero
+            else:
+                o_win = pltpu.roll(o_win, 1, 0)
+                blocked_c = o_win[_PAD : _PAD + by, :] != zero
             if "collide" in skip:
                 w, speed = list(t), t[0]
             elif collide_split > 1:
@@ -427,6 +444,8 @@ def make_skew(
     top_local: bool = False,
     fix_collide_split: int = 1,
     canon_nx: int = 0,
+    absorb_shift: bool = False,  # A/B knob: static-offset slices instead of
+                                 # the per-step realignment rolls
 ):
     """Returns ``(prepare, chunk)``:
 
@@ -470,6 +489,7 @@ def make_skew(
         by=by, nx=nx, h=h, k_steps=k_steps, ny_global=ny_global,
         omega=float(omega), w1=float(accel_w1), w2=float(accel_w2),
         slots=slots, collide_split=collide_split, canon_nx=canon_nx,
+        absorb_shift=absorb_shift,
     )
     if not fused_fix:
         kernel = functools.partial(_kernel, **statics)

@@ -130,6 +130,9 @@ def _kernel(
     w1: float,
     w2: float,
     slots: int = 2,
+    in_slots: int = 2,        # input-window pipeline depth (fbuf/obuf);
+                              # > slots deepens the fetch lead without
+                              # scaling the output staging
     collide_split: int = 1,
     mnx: int,                 # compute-margin columns per side (static;
                               # _MX = full-window compute, no realignment).
@@ -138,6 +141,8 @@ def _kernel(
                               # would hand direct callers the rejected
                               # 7.5%-slower narrow-window config.
     local_reuse: bool = False,
+    merged_fetch: bool = False,
+    absorb_shift: bool = False,
 ):
     k = k_steps
     mx = _MX
@@ -150,8 +155,9 @@ def _kernel(
     ncol = pl.num_programs(1)
     lin = i * ncol + j
     n = nrow * ncol
-    slot = jax.lax.rem(lin, slots)
-    nslot = jax.lax.rem(lin + 1, slots)
+    slot = jax.lax.rem(lin, in_slots)
+    nslot = jax.lax.rem(lin + 1, in_slots)
+    vslot = jax.lax.rem(lin, slots)
     zero = np.float32(0.0)
     w1f = np.float32(w1)
     w2f = np.float32(w2)
@@ -220,6 +226,26 @@ def _kernel(
             @pl.when(b_col == ncol - 1)
             def _():
                 go(col_pieces(b_col, with_left, merged=False))
+        elif merged_fetch and ncol > 1:
+            # The window [b_col*bx - mx, (b_col+1)*bx + mx) is ONE
+            # contiguous x-range except where a margin wraps the torus:
+            # the left margin wraps only at b_col == 0, the right only at
+            # b_col == ncol-1 — so interior strips fetch a single
+            # wx-wide piece per plane-set (vs three), and the edge strips
+            # two. Offsets under the edge predicates are static.
+            @pl.when(b_col == 0)
+            def _():
+                go([(nx - mx, 0, mx), (0, mx, bx + mx)])
+
+            @pl.when(b_col == ncol - 1)
+            def _():
+                go([((ncol - 1) * bx - mx, 0, mx + bx), (0, mx + bx, mx)])
+
+            if ncol > 2:
+                @pl.when((b_col > 0) & (b_col < ncol - 1))
+                def _():
+                    left = b_col * bx - mx
+                    go([(pl.multiple_of(left, mx), 0, wx)])
         else:
             go(col_pieces(b_col, with_left, merged=False))
 
@@ -288,13 +314,23 @@ def _kernel(
         def _():
             local_left(slot, nslot, True)
     else:
+        # Generalized depth-(in_slots - 1) software pipeline: program lin
+        # starts the fetch for window lin + D, so the DMA engine holds D
+        # windows of lead over the compute. in_slots == 2 reduces to the
+        # classic one-ahead double buffer.
+        depth = in_slots - 1
+
         @pl.when(lin == 0)
         def _():
-            start_dmas(jnp.int32(0), jnp.int32(0), 0)
+            for d in range(min(depth, n)):
+                start_dmas(jnp.int32(d // ncol), jnp.int32(d % ncol),
+                           d % in_slots)
 
-        @pl.when(have_next)
+        nxt_d = lin + depth
+        @pl.when(nxt_d < n)
         def _():
-            start_dmas(nxt // ncol, nxt_j, nslot)
+            start_dmas(nxt_d // ncol, jax.lax.rem(nxt_d, ncol),
+                       jax.lax.rem(nxt_d, in_slots))
 
         wait_dmas(i, j, slot)
 
@@ -326,7 +362,7 @@ def _kernel(
         @pl.when(lin >= slots)
         def _():
             prv = lin - slots
-            out_wait(prv // ncol, jax.lax.rem(prv, ncol), slot)
+            out_wait(prv // ncol, jax.lax.rem(prv, ncol), vslot)
 
     # -- the K skewed steps --------------------------------------------------
     # Narrow-window realignment: the genuine slice starts at lane x0 =
@@ -359,7 +395,10 @@ def _kernel(
         subs = [slab[j, pl.ds((s * NSPEEDS + c) * 2, 2), :]
                 for c in range(NSPEEDS)]
         if "accel" not in skip:
-            free_v = o_win[_PAD : _PAD + by, :] == zero
+            if absorb_shift:
+                free_v = o_win[_PAD - s : _PAD - s + by, :] == zero
+            else:
+                free_v = o_win[_PAD : _PAD + by, :] == zero
             a_off = jax.lax.rem(
                 a_glob - (base - s) + 2 * ny_global, ny_global)
             sel_free = (row_ids == a_off) & free_v
@@ -376,9 +415,16 @@ def _kernel(
                 v = jnp.concatenate([junk6, w[c][:2], w[c]], axis=0)
             if "roll" not in skip:
                 r = (1 + CY[c]) % (by + _PAD)
-                if r:
+                if absorb_shift:
+                    # roll(v, r)[_PAD:_PAD+by] == v[_PAD-r : _PAD-r+by]
+                    # (no top wrap: _PAD - r >= 6) — realignment shift
+                    # absorbed into a static sublane-offset slice
+                    v = v[_PAD - r : _PAD - r + by, :]
+                elif r:
                     v = pltpu.roll(v, r, 0)
-                v = v[_PAD : _PAD + by, :]
+                    v = v[_PAD : _PAD + by, :]
+                else:
+                    v = v[_PAD : _PAD + by, :]
                 if CX[c] != 0:
                     # narrow-window-local wrap: garbage, absorbed by the
                     # K-column edge analysis
@@ -386,8 +432,11 @@ def _kernel(
             else:
                 v = v[_PAD : _PAD + by, :]
             t.append(v)
-        o_win = pltpu.roll(o_win, 1, 0)
-        blocked_c = o_win[_PAD : _PAD + by, :] != zero
+        if absorb_shift:
+            blocked_c = o_win[_PAD - s - 1 : _PAD - s - 1 + by, :] != zero
+        else:
+            o_win = pltpu.roll(o_win, 1, 0)
+            blocked_c = o_win[_PAD : _PAD + by, :] != zero
         if collide_split > 1:
             step8 = -(-by // (8 * collide_split)) * 8
             outs, speeds = [], []
@@ -423,8 +472,8 @@ def _kernel(
             acc[s, 0] += part_full
 
     for c in range(NSPEEDS):
-        vstage[slot, c] = w[c][:, mnx : mnx + bx]
-    for pred, c in out_copy(i, j, slot):
+        vstage[vslot, c] = w[c][:, mnx : mnx + bx]
+    for pred, c in out_copy(i, j, vslot):
         @pl.when(pred)
         def _(c=c):
             c.start()
@@ -433,8 +482,9 @@ def _kernel(
     def _():
         if n >= 2:
             prv = lin - 1
-            out_wait(prv // ncol, jax.lax.rem(prv, ncol), nslot)
-        out_wait(i, j, slot)
+            out_wait(prv // ncol, jax.lax.rem(prv, ncol),
+                     jax.lax.rem(lin + slots - 1, slots))
+        out_wait(i, j, vslot)
         for s in range(k):
             av_ref[s, 0] = acc[s, 0]
 
@@ -450,10 +500,15 @@ def make_skew2d(
     interpret: Optional[bool] = None,
     tile: Optional[Tuple[int, int]] = None,
     slots: int = 2,
+    in_slots: Optional[int] = None,  # input pipeline depth (default: slots)
     alias_donor: bool = False,
     collide_split: int = 1,
     mnx: Optional[int] = None,
     local_reuse: bool = False,  # measured 0.7% SLOWER at 4096^2 — A/B knob
+    merged_fetch: bool = False,  # single contiguous window fetch per
+                                 # non-wrapping strip — A/B knob
+    absorb_shift: bool = False,  # A/B knob: static-offset slices instead of
+                                 # the per-step realignment rolls
 ):
     """Returns ``(prepare, chunk)`` with the same contract as
     pallas_kstep_skew.make_skew (see that docstring) over (BY, BX) tiles."""
@@ -474,13 +529,21 @@ def make_skew2d(
         mnx = _MX  # full-window compute (measured fastest; see module doc)
     if mnx % 64 or not 0 < mnx <= _MX or (bx + 2 * mnx) % 128:
         raise ValueError(f"bad skew2d compute margin mnx={mnx} for bx={bx}")
+    if in_slots is None:
+        in_slots = slots
+    if in_slots < slots or (local_reuse and in_slots != 2):
+        raise ValueError(
+            f"bad skew2d pipeline (slots={slots}, in_slots={in_slots}, "
+            f"local_reuse={local_reuse})"
+        )
     sxw = bx + 2 * mnx  # narrow compute / slab width (see _kernel)
 
     kernel = functools.partial(
         _kernel, by=by, bx=bx, nx=nx, h=h, k_steps=k_steps,
         ny_global=ny_global, omega=float(omega), w1=float(accel_w1),
-        w2=float(accel_w2), slots=slots, collide_split=collide_split,
-        mnx=mnx, local_reuse=local_reuse,
+        w2=float(accel_w2), slots=slots, in_slots=in_slots,
+        collide_split=collide_split, mnx=mnx, local_reuse=local_reuse,
+        merged_fetch=merged_fetch, absorb_shift=absorb_shift,
     )
 
     in_specs = [
@@ -513,15 +576,15 @@ def make_skew2d(
             jax.ShapeDtypeStruct((k_steps, 1), jnp.float32),
         ],
         scratch_shapes=[
-            pltpu.VMEM((slots, NSPEEDS, by + _PAD, bx + 2 * _MX),
+            pltpu.VMEM((in_slots, NSPEEDS, by + _PAD, bx + 2 * _MX),
                        jnp.float32),
-            pltpu.VMEM((slots, by + _PAD, bx + 2 * _MX), jnp.float32),
+            pltpu.VMEM((in_slots, by + _PAD, bx + 2 * _MX), jnp.float32),
             pltpu.VMEM((slots, NSPEEDS, by, bx), jnp.float32),
             pltpu.VMEM((ncol, k_steps * NSPEEDS * 2, sxw), jnp.float32),
+            pltpu.SemaphoreType.DMA((in_slots,)),
+            pltpu.SemaphoreType.DMA((in_slots,)),
             pltpu.SemaphoreType.DMA((slots,)),
-            pltpu.SemaphoreType.DMA((slots,)),
-            pltpu.SemaphoreType.DMA((slots,)),
-            pltpu.SemaphoreType.DMA((slots,)),
+            pltpu.SemaphoreType.DMA((in_slots,)),
             pltpu.SMEM((k_steps, 1), jnp.float32),
         ],
         compiler_params=pltpu.CompilerParams(
@@ -552,5 +615,7 @@ def make_skew2d(
     chunk.mnx = mnx
     chunk.sxw = sxw
     chunk.local_reuse = local_reuse
+    chunk.merged_fetch = merged_fetch
+    chunk.in_slots = in_slots
     chunk.tile = (by, bx)
     return prepare, chunk

@@ -45,23 +45,35 @@ def default_interpret() -> bool:
     return jax.devices()[0].platform == "cpu"
 
 
+# x_wrap_patch formulation A/B knob: True lowers the one-lane fix as a
+# static-offset slice update (.at[].set) instead of iota + full-window
+# where. Physics-identical (tests pin bitwise equality of the two modes);
+# flip only via the A/B script.
+X_PATCH_AT_SET = False
+
+
 def x_wrap_patch(v: jnp.ndarray, v_pre: jnp.ndarray, cx: int,
                  x_canon: int) -> jnp.ndarray:
     """Re-aim a lane roll's wrap column for a periodically x-extended window
     (see fused_window_steps ``x_canon``). ``v`` is the post-roll plane,
     ``v_pre`` the pre-roll one; |cx| == 1 (D2Q9)."""
     wx = v.shape[-1]
-    cid = jax.lax.broadcasted_iota(jnp.int32, v.shape, v.ndim - 1)
     if cx == 1:
         # col 0 wrongly reads mirror col wx-1; the true left wrap of col 0
         # is canonical col x_canon-1
-        return jnp.where(cid == 0, v_pre[..., x_canon - 1 : x_canon], v)
+        src = v_pre[..., x_canon - 1 : x_canon]
+        if X_PATCH_AT_SET:
+            return v.at[..., 0:1].set(src)
+        cid = jax.lax.broadcasted_iota(jnp.int32, v.shape, v.ndim - 1)
+        return jnp.where(cid == 0, src, v)
     # cx == -1: col wx-1 (mirror of col wx-1-x_canon... i.e. canonical col
     # wx-x_canon-1's mirror) wrongly reads col 0; its true right wrap is
     # col wx-x_canon
-    return jnp.where(
-        cid == wx - 1, v_pre[..., wx - x_canon : wx - x_canon + 1], v
-    )
+    src = v_pre[..., wx - x_canon : wx - x_canon + 1]
+    if X_PATCH_AT_SET:
+        return v.at[..., wx - 1 : wx].set(src)
+    cid = jax.lax.broadcasted_iota(jnp.int32, v.shape, v.ndim - 1)
+    return jnp.where(cid == wx - 1, src, v)
 
 
 def accel_update(w: List[jnp.ndarray], sel_free: jnp.ndarray,
