@@ -64,6 +64,9 @@ def main():
         ("in3", dict(in_slots=3)),
         ("merged+in3", dict(merged_fetch=True, in_slots=3)),
         ("merged+in4", dict(merged_fetch=True, in_slots=4)),
+        ("absorb", dict(absorb_shift=True)),
+        ("mrg+in3+abs", dict(merged_fetch=True, in_slots=3,
+                             absorb_shift=True)),
     ]
     results = {}
     tails = {}

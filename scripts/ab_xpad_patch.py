@@ -5,9 +5,11 @@ The periodic x-extension (320^2 -> skew@384) pays (a) the geometric padding
 ratio nxp/nx in compute — irreducible for lane-tiled windows — and (b) the
 wrap re-aim patch: per step, 6 one-lane substitutions lowered as
 iota + full-window where (window_step.x_wrap_patch). This A/B measures (b)'s
-two formulations (`where` vs `.at[].set`, knob window_step.X_PATCH_AT_SET)
-at the two unaligned tier-sweep sizes, alongside their aligned neighbours
-for the ratio. Bitwise-equal physics (tests/test_xpad.py pins it).
+formulations (knob window_step.X_PATCH_MODE: `concat` / `where` / `at_set`
+/ `dus`) at the two unaligned tier-sweep sizes, alongside their aligned
+neighbours for the ratio. Bitwise-equal physics (tests/test_xpad.py pins
+it). Measured r4: `concat` wins +2% (landed as default); `at_set`/`dus`
+lower to scatter/dynamic_update_slice which hardware Mosaic rejects.
 
     python scripts/ab_xpad_patch.py [--steps 2000]
 """
@@ -46,22 +48,26 @@ def main():
     n = args.steps
 
     cases = [
-        (320, "where", False),
-        (320, "at_set", True),
-        (448, "where", False),
-        (448, "at_set", True),
-        (384, "aligned", False),
-        (512, "aligned", False),
+        (320, "where"),
+        (320, "at_set"),
+        (320, "dus"),
+        (320, "concat"),
+        (448, "where"),
+        (448, "at_set"),
+        (448, "dus"),
+        (448, "concat"),
+        (384, "aligned"),
+        (512, "aligned"),
     ]
     print(f"{'case':16} {'us/step':>9} {'MLUPS':>9}")
-    for size, name, at_set in cases:
+    for size, name in cases:
         p = LBMParams(nx=size, ny=size, max_iters=n, reynolds_dim=100,
                       density=0.1, accel=0.005, omega=1.85)
         rng = np.random.RandomState(1)
         mask = rng.rand(size, size) < 0.1
         p = p.with_free_cells(size * size - int(mask.sum()))
         obst = jnp.asarray(np.asarray(mask))
-        window_step.X_PATCH_AT_SET = at_set
+        window_step.X_PATCH_MODE = name if name != "aligned" else "concat"
         try:
             runner = make_runner(p, n, mesh=mesh, backend="pallas")
             f = initial_state(p)
@@ -88,7 +94,7 @@ def main():
         if best:
             print(f"{size}^2/{name:8} {best / n * 1e6:9.2f} "
                   f"{size * size * n / best / 1e6:9.0f}")
-    window_step.X_PATCH_AT_SET = False
+    window_step.X_PATCH_MODE = "concat"
 
 
 if __name__ == "__main__":

@@ -59,16 +59,19 @@ def test_xpad_matches_oracle(ny, nx, n, n_dev):
 
 
 @pytest.mark.smoke
-def test_x_patch_at_set_mode_is_bitwise_identical(monkeypatch):
-    """The .at[].set() formulation of x_wrap_patch (A/B knob
-    window_step.X_PATCH_AT_SET) is the same one-lane substitution as the
-    iota+where form — the extension must stay EXACT under either."""
+@pytest.mark.parametrize("mode", ["where", "at_set", "dus"])
+def test_x_patch_mode_is_bitwise_identical(monkeypatch, mode):
+    """Every formulation of x_wrap_patch (A/B knob window_step.X_PATCH_MODE)
+    is the same one-lane substitution as the production concat default
+    (which every other xpad test exercises) — the extension must stay EXACT
+    under any of them. (at_set/dus are interpret-only: hardware Mosaic
+    rejects their scatter/dynamic_update_slice lowerings, measured r4.)"""
     from tpulbm.ops import window_step
 
     p, obst = _random_case(128, 250, seed=7)
     n = 8
     f_ref, av_ref = run_steps(initial_state(p), obst, p, n)
-    monkeypatch.setattr(window_step, "X_PATCH_AT_SET", True)
+    monkeypatch.setattr(window_step, "X_PATCH_MODE", mode)
     r = _make_xpad_runner(p, n, get_mesh(n_devices=1))
     f, av = r(initial_state(p), obst)
     assert np.array_equal(np.asarray(f), np.asarray(f_ref))

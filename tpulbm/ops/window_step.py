@@ -45,11 +45,34 @@ def default_interpret() -> bool:
     return jax.devices()[0].platform == "cpu"
 
 
-# x_wrap_patch formulation A/B knob: True lowers the one-lane fix as a
-# static-offset slice update (.at[].set) instead of iota + full-window
-# where. Physics-identical (tests pin bitwise equality of the two modes);
-# flip only via the A/B script.
-X_PATCH_AT_SET = False
+# x_wrap_patch formulation A/B knob (flip only via scripts/ab_xpad_patch.py;
+# physics-identical, tests pin bitwise equality of all modes):
+#   "concat" — rebuild the plane as concat([src, v[1:]]) / concat([v[:-1],
+#              src]): no fine-grained update primitive at all. PRODUCTION
+#              DEFAULT — measured +2% over "where" at 320²/448² (r4),
+#              putting the unaligned decks at 94-95% of their geometric
+#              lane-tiling bound (docs/measurements/round4.md)
+#   "where"  — iota + full-window select (r3 default)
+#   "at_set" — .at[col].set(): lowers to scatter, which hardware Mosaic
+#              REJECTS (NotImplementedError, measured r4) — interpret-only
+#   "dus"    — lax.dynamic_update_slice with static indices: ALSO rejected
+#              by hardware Mosaic (NotImplementedError, measured r4)
+X_PATCH_MODE = "concat"
+
+
+def _patch_col(v: jnp.ndarray, src: jnp.ndarray, col: int) -> jnp.ndarray:
+    """Substitute one lane column per X_PATCH_MODE."""
+    if X_PATCH_MODE == "at_set":
+        return v.at[..., col : col + 1].set(src)
+    if X_PATCH_MODE == "dus":
+        start = (0,) * (v.ndim - 1) + (col,)
+        return jax.lax.dynamic_update_slice(v, src, start)
+    if X_PATCH_MODE == "concat":
+        if col == 0:
+            return jnp.concatenate([src, v[..., 1:]], axis=-1)
+        return jnp.concatenate([v[..., :col], src], axis=-1)
+    cid = jax.lax.broadcasted_iota(jnp.int32, v.shape, v.ndim - 1)
+    return jnp.where(cid == col, src, v)
 
 
 def x_wrap_patch(v: jnp.ndarray, v_pre: jnp.ndarray, cx: int,
@@ -61,19 +84,11 @@ def x_wrap_patch(v: jnp.ndarray, v_pre: jnp.ndarray, cx: int,
     if cx == 1:
         # col 0 wrongly reads mirror col wx-1; the true left wrap of col 0
         # is canonical col x_canon-1
-        src = v_pre[..., x_canon - 1 : x_canon]
-        if X_PATCH_AT_SET:
-            return v.at[..., 0:1].set(src)
-        cid = jax.lax.broadcasted_iota(jnp.int32, v.shape, v.ndim - 1)
-        return jnp.where(cid == 0, src, v)
+        return _patch_col(v, v_pre[..., x_canon - 1 : x_canon], 0)
     # cx == -1: col wx-1 (mirror of col wx-1-x_canon... i.e. canonical col
     # wx-x_canon-1's mirror) wrongly reads col 0; its true right wrap is
     # col wx-x_canon
-    src = v_pre[..., wx - x_canon : wx - x_canon + 1]
-    if X_PATCH_AT_SET:
-        return v.at[..., wx - 1 : wx].set(src)
-    cid = jax.lax.broadcasted_iota(jnp.int32, v.shape, v.ndim - 1)
-    return jnp.where(cid == wx - 1, src, v)
+    return _patch_col(v, v_pre[..., wx - x_canon : wx - x_canon + 1], wx - 1)
 
 
 def accel_update(w: List[jnp.ndarray], sel_free: jnp.ndarray,
