@@ -122,3 +122,20 @@ def test_runner_routes_to_skew():
     f, av = runner(initial_state(p), obst)
     assert np.array_equal(np.asarray(f), np.asarray(f_ref))
     np.testing.assert_allclose(np.asarray(av), np.asarray(av_ref), rtol=2e-5)
+
+
+@pytest.mark.smoke
+def test_block_budget_pins_the_measured_picks():
+    """The r4 block budget (61440 = (40+8)*1280, the largest window compiled
+    and measured on hardware) must keep the measured tier routing: nx=1280
+    joins the ratio-1.0 skew tier at BY=40 (+30% over the skew2d tile it
+    fell to at the r3 48K budget); the 1024/1536 picks stay at their
+    measured-best (scripts/ab_skew_budget_1280.py)."""
+    assert pks._BLOCK_BUDGET == 61440
+    assert pks.pick_block_rows(1280, 1280) == 40
+    assert pks.pick_block_rows(1024, 1024) == 32
+    assert pks.pick_block_rows(1536, 1536) == 32  # measured == BY=24
+    assert pks.supported(1280, 1280, pks.SKEW_K)
+    # wider grids still fall through to the 2-D tiled skew
+    assert not pks.supported(2048, 2048, pks.SKEW_K)
+    assert not pks.supported(4096, 4096, pks.SKEW_K)

@@ -60,7 +60,13 @@ from tpulbm.ops import window_step
 
 _PAD = 8          # bottom pad rows of the window; slab rows live at 6,7
 SKEW_K = 8        # output offsets are i*BY - K: 8-aligned only for K == 8
-_BLOCK_BUDGET = 48 * 1024  # (BY + 8) * nx elements per window plane
+# (BY + 8) * nx elements per window plane. 61440 = (40+8)*1280, the largest
+# window compiled AND measured on hardware (r4 budget A/B): raising it from
+# the r3 48K admitted nx=1280 (BY=40) to this ratio-1.0 tier at 25.7K device
+# MLUPS, +30% over the skew2d tile it previously fell to — and flipped
+# nothing else measurable (1024²/1536² picks unchanged or measured-equal;
+# scripts/ab_skew_budget_1280.py, docs/measurements/round4.md).
+_BLOCK_BUDGET = 61440
 
 
 def pick_block_rows(h: int, nx: int) -> Optional[int]:
