@@ -30,6 +30,8 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--steps", type=int, default=2000)
     ap.add_argument("--reps", type=int, default=3)
+    ap.add_argument("--wider", action="store_true",
+                    help="probe 1792/2048 windows past the proven budget")
     args = ap.parse_args()
 
     import numpy as np
@@ -63,6 +65,17 @@ def main():
         ("1536 skew BY=32 (budget++)", 1536, None, 61440),
         ("1536 skew BY=24 (production)", 1536, None, base_budget),
     ]
+    if "--wider" in sys.argv:
+        # Can the ratio-1.0 tier stretch to 1792/2048-wide windows? The
+        # windows are 17/33% past the r4-proven 61440 elements/plane; the
+        # A/B doubles as the compile probe (a FAIL row = the budget must
+        # stay below that window size).
+        cases = [
+            ("1792 skew2d (production)", 1792, sk2.make_skew2d, base_budget),
+            ("1792 skew BY=32 (71680)", 1792, None, 71680),
+            ("2048 skew2d (production)", 2048, sk2.make_skew2d, base_budget),
+            ("2048 skew BY=32 (81920)", 2048, None, 81920),
+        ]
     print(f"{'case':28} {'us/step':>9} {'MLUPS':>9}")
     for name, size, maker, budget in cases:
         p, obst = deck(size)
