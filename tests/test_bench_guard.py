@@ -39,6 +39,16 @@ def test_should_write_artifact_guard():
     assert g(healthy, degraded, force=True)
     # degraded-over-degraded refreshes are fine (newer commit field)
     assert g(degraded, degraded)
+    # a healthy artifact keeps the deck's best healthy wall (r4): a slower
+    # healthy sample is window luck, not a regression record
+    fast = {"window": "healthy", "wall_mlups": 21079.4}
+    slow = {"window": "healthy", "wall_mlups": 20325.9}
+    assert not g(fast, slow)
+    assert g(slow, fast)
+    assert g(fast, slow, force=True)
+    # walls absent on either side: fall back to the window-only rule
+    assert g(fast, healthy)
+    assert g(healthy, slow)
 
 
 def test_tpu_health_nominal_tracks_committed_artifact():
