@@ -71,6 +71,19 @@ def _tiers():
         return R._make_skew_runner(p, n, mesh1,
                                    maker=pallas_kstep_skew2d.make_skew2d)
 
+    def skew2d_xfix(p, n):
+        # the x-tiled seam fix (production for nx > MONO_FIX_NX_MAX, i.e.
+        # 8192-wide grids): force it at smoke scale by lowering the envelope
+        from tpulbm.ops import pallas_kstep_skew as pks
+
+        orig = pks.MONO_FIX_NX_MAX
+        pks.MONO_FIX_NX_MAX = 128
+        try:
+            return R._make_skew_runner(
+                p, n, mesh1, maker=pallas_kstep_skew2d.make_skew2d)
+        finally:
+            pks.MONO_FIX_NX_MAX = orig
+
     def kstep(p, n):
         return R._make_kstep_runner(p, n, mesh1, 8, alias_donor=True,
                                     exact_all=True)
@@ -105,6 +118,7 @@ def _tiers():
         ("resident-hbm", 256, 512, 16, resident_hbm),
         ("skew", 96, 128, 16, skew),
         ("skew2d", 48, 512, 16, skew2d),
+        ("skew2d-xfix", 48, 2048, 16, skew2d_xfix),  # 2-tile fix (bx=1024)
         ("kstep", 64, 128, 16, kstep),
         ("kstep2d", 32, 1024, 16, kstep2d),
         ("bands", 32, 512, 16, bands),

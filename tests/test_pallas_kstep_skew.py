@@ -139,3 +139,56 @@ def test_block_budget_pins_the_measured_picks():
     # wider grids still fall through to the 2-D tiled skew
     assert not pks.supported(2048, 2048, pks.SKEW_K)
     assert not pks.supported(4096, 4096, pks.SKEW_K)
+
+
+@pytest.mark.smoke
+def test_tiled_fix_matches_monolithic_bitwise():
+    """The x-tiled seam fix (make_skew_fix_tiled, for nx past the monolithic
+    kernel's VMEM envelope) produces BITWISE the monolithic fix's values on
+    a 4-tile band; the |u| series differs only in tile addition order."""
+    nx, ny, k = 512, 64, pks.SKEW_K
+    rng = np.random.RandomState(11)
+    band = jnp.asarray(
+        0.05 + 0.01 * rng.rand(9, 4 * k, nx).astype(np.float32))
+    oband = jnp.asarray((rng.rand(4 * k, nx) < 0.15).astype(np.float32))
+    scal = jnp.asarray([[2, (ny - 2 * k) % ny]], dtype=jnp.int32)
+    mono = pks.make_skew_fix(nx, ny, 1.85, 0.0000555, 0.0000139, k)
+    tiled = pks.make_skew_fix_tiled(
+        nx, ny, 1.85, 0.0000555, 0.0000139, k, bx=128)
+    vals_m, av_m = mono(band, oband, scal)
+    vals_t, av_t = tiled(band, oband, scal)
+    assert np.array_equal(np.asarray(vals_t), np.asarray(vals_m))
+    np.testing.assert_allclose(
+        np.asarray(av_t), np.asarray(av_m), rtol=1e-6)
+
+
+@pytest.mark.smoke
+def test_skew2d_runner_with_tiled_fix_matches_oracle(monkeypatch):
+    """End-to-end: the skew2d runner with the x-tiled fix (envelope forced
+    below nx so the tiled path is selected, as for nx > 4096 in production)
+    stays bitwise vs the jnp oracle."""
+    from tpulbm.ops import pallas_kstep_skew2d as sk2
+
+    monkeypatch.setattr(pks, "MONO_FIX_NX_MAX", 128)
+    p, obst = _random_case(64, 512)
+    n = 16
+    p = type(p)(**{**p.__dict__, "max_iters": n})
+    f_ref, av_ref = run_steps(initial_state(p), obst, p, n)
+    r = _make_skew_runner(
+        p, n, get_mesh(n_devices=1), maker=sk2.make_skew2d)
+    f, av = r(initial_state(p), obst)
+    assert np.array_equal(np.asarray(f), np.asarray(f_ref))
+    np.testing.assert_allclose(np.asarray(av), np.asarray(av_ref), rtol=2e-5)
+
+
+@pytest.mark.smoke
+def test_wide_grids_supported_via_tiled_fix():
+    """8192^2 must route to the skew2d tier (r4: previously supported()
+    said yes but the monolithic fix OOMed VMEM at hardware compile; now the
+    tiled fix covers it)."""
+    from tpulbm.ops import pallas_kstep_skew2d as sk2
+
+    assert sk2.supported(8192, 8192, pks.SKEW_K)
+    assert pks.pick_fix_bx(8192) == 1024
+    assert pks.pick_fix_bx(4224) == 384   # non-power-of-two widths too
+    assert not pks.supported(8192, 8192, pks.SKEW_K)  # 1-D stays out

@@ -525,10 +525,27 @@ def _make_skew_runner(
         chunk_plain = chunk_k
     chunk_fix = None
     if not fused_fix:
-        chunk_fix = pks.make_skew_fix(
-            params.nx, ny, params.omega, params.accel_w1, params.accel_w2, k,
-            collide_split=max(1, params.nx // 1024), canon_nx=canon_nx,
-        )
+        if params.nx <= pks.MONO_FIX_NX_MAX or canon_nx:
+            if canon_nx and params.nx > pks.MONO_FIX_NX_MAX:
+                # the x-extension composes with the monolithic fix only (the
+                # tiled fix's per-window rolls can't carry the canonical
+                # wrap re-aim); unaligned decks this wide fall back earlier
+                raise ValueError(
+                    f"skew runner: x-extended width {params.nx} exceeds the "
+                    f"monolithic fix envelope ({pks.MONO_FIX_NX_MAX})"
+                )
+            chunk_fix = pks.make_skew_fix(
+                params.nx, ny, params.omega, params.accel_w1,
+                params.accel_w2, k,
+                collide_split=max(1, params.nx // 1024), canon_nx=canon_nx,
+            )
+        else:
+            # wider than the monolithic fix's VMEM envelope: x-tiled fix
+            # (ops/pallas_kstep_skew.make_skew_fix_tiled), same contract
+            chunk_fix = pks.make_skew_fix_tiled(
+                params.nx, ny, params.omega, params.accel_w1,
+                params.accel_w2, k,
+            )
     chunk_r = None
     if rem:
         # classic fallback kernel for the sub-K tail: 1-D where it fits,

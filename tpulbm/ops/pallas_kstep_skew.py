@@ -695,3 +695,176 @@ def make_skew_fix(
         return vals, av[:, 0]
 
     return chunk_fix
+
+
+# The monolithic fix kernel above holds the full-width band (+ outputs +
+# collide temps) in one program's scoped VMEM: ~3.4 KB per lane column,
+# measured 26.5 MB at nx=8192 vs the 16 MB limit (hardware compile OOM, r4).
+# 4096 is the widest deck it has compiled and run; wider grids use the
+# x-tiled fix below.
+MONO_FIX_NX_MAX = 4096
+_FIX_MX = 128     # lane margin per tile side (garbage moves <= K lanes)
+
+
+def pick_fix_bx(nx: int) -> int:
+    """Largest 128-multiple divisor of nx that is <= 1024 (tile width for
+    the x-tiled fix; window = bx + 256 lanes)."""
+    for bx in range(min(nx, 1024), 0, -128):
+        if nx % bx == 0:
+            return bx
+    raise ValueError(f"no 128-multiple tile width divides nx={nx}")
+
+
+def _fix_tiled_kernel(
+    band_ref,   # (9, 4K, nx + 2*_FIX_MX) HBM: x-extended pre-chunk band
+    oband_ref,  # (4K, nx + 2*_FIX_MX) HBM float32
+    scal_ref,   # (1, 2) SMEM: [global accel row, (off - 2K) mod ny]
+    vals_ref,   # (9, 2K, nx) HBM out
+    av_ref,     # (K, 1) SMEM out
+    fbuf,       # (9, 4K, BX + 2*_FIX_MX) VMEM window
+    obuf,       # (4K, BX + 2*_FIX_MX) VMEM
+    vstage,     # (9, 2K, BX) VMEM output staging
+    sem_f, sem_o, sem_out,
+    acc,        # (K, 1) SMEM accumulator across tiles
+    *,
+    bx: int,
+    k_steps: int,
+    ny_global: int,
+    omega: float,
+    w1: float,
+    w2: float,
+):
+    k = k_steps
+    i = pl.program_id(0)
+    n = pl.num_programs(0)
+    hband = 4 * k
+    bxw = bx + 2 * _FIX_MX
+    zero = np.float32(0.0)
+
+    # tile window: contiguous lanes [i*bx, i*bx + bxw) of the EXTENDED band
+    # (the caller wraps 128 torus columns onto each side, so every tile —
+    # including the wrap tiles — is one contiguous slice)
+    x0 = pl.multiple_of(i * bx, 128)
+    cp_f = pltpu.make_async_copy(
+        band_ref.at[:, :, pl.ds(x0, bxw)], fbuf, sem_f)
+    cp_o = pltpu.make_async_copy(
+        oband_ref.at[:, pl.ds(x0, bxw)], obuf, sem_o)
+    cp_f.start()
+    cp_o.start()
+    cp_f.wait()
+    cp_o.wait()
+
+    @pl.when(i == 0)
+    def _():
+        for s in range(k):
+            acc[s, 0] = zero
+
+    w = [fbuf[c] for c in range(NSPEEDS)]
+    blocked = obuf[:] != zero
+    a_glob = scal_ref[0, 0]
+    base = scal_ref[0, 1]
+    row_ids = jax.lax.broadcasted_iota(jnp.int32, (hband, bxw), 0)
+    a_off = jax.lax.rem(a_glob - base + 2 * ny_global, ny_global)
+    accel_sel = jax.lax.rem(row_ids - a_off + 2 * ny_global, ny_global) == 0
+
+    # classic K-step recompute on the tile window: in-window lane rolls
+    # wrap WRONG values onto the window edges, but garbage moves <= 1 lane
+    # per step and the owned columns sit _FIX_MX = 128 >> K lanes inside.
+    # Per-step sums slide down exactly as in the monolithic fix, restricted
+    # to this tile's owned columns (accumulated across tiles in SMEM; the
+    # state values are bitwise those of the monolithic fix — only the |u|
+    # series' addition order differs, matching the main kernels' tiling).
+    w, parts = window_step.fused_window_steps(
+        w, blocked, accel_sel, k, omega, w1, w2,
+        owned=(slice(2 * k - 1, 4 * k - 1), slice(_FIX_MX, _FIX_MX + bx)),
+        owned_step_dy=-1,
+    )
+    for s, part in enumerate(parts):
+        acc[s, 0] = acc[s, 0] + part
+    for c in range(NSPEEDS):
+        vstage[c] = w[c][k : 3 * k, _FIX_MX : _FIX_MX + bx]
+    cp_out = pltpu.make_async_copy(
+        vstage, vals_ref.at[:, :, pl.ds(x0, bx)], sem_out)
+    cp_out.start()
+    cp_out.wait()
+
+    @pl.when(i == n - 1)
+    def _():
+        for s in range(k):
+            av_ref[s, 0] = acc[s, 0]
+
+
+def make_skew_fix_tiled(
+    nx: int,
+    ny_global: int,
+    omega: float,
+    accel_w1: float,
+    accel_w2: float,
+    k_steps: int = SKEW_K,
+    interpret: Optional[bool] = None,
+    bx: Optional[int] = None,
+):
+    """x-tiled seam-band kernel for grids wider than the monolithic fix's
+    VMEM envelope (nx > MONO_FIX_NX_MAX): same contract as make_skew_fix —
+    ``chunk_fix(band, oband_f, scal) -> (vals (9, 2K, nx), av[k])`` — with
+    the band x-extended by 128 wrap columns per side OUTSIDE the kernel (an
+    XLA concat on the tiny 4K-row band) so every tile window is one
+    contiguous DMA. Values are bitwise the monolithic fix's; the |u| series
+    is accumulated tile-by-tile (same addition-order caveat as the tiled
+    main kernels). No canon_nx support: x-extended decks keep the
+    monolithic fix (gated at MONO_FIX_NX_MAX by the runner)."""
+    if interpret is None:
+        interpret = window_step.default_interpret()
+    k = k_steps
+    if bx is None:
+        bx = pick_fix_bx(nx)
+    if nx % bx or bx % 128:
+        raise ValueError(f"fix tile width {bx} must be a 128-multiple "
+                         f"divisor of nx={nx}")
+    nt = nx // bx
+    kernel = functools.partial(
+        _fix_tiled_kernel, bx=bx, k_steps=k, ny_global=ny_global,
+        omega=float(omega), w1=float(accel_w1), w2=float(accel_w2),
+    )
+    any_spec = pl.BlockSpec(memory_space=pl.ANY)
+    call = pl.pallas_call(
+        kernel,
+        grid=(nt,),
+        in_specs=[
+            any_spec,
+            any_spec,
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+        ],
+        out_specs=[
+            any_spec,
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((NSPEEDS, 2 * k, nx), jnp.float32),
+            jax.ShapeDtypeStruct((k, 1), jnp.float32),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((NSPEEDS, 4 * k, bx + 2 * _FIX_MX), jnp.float32),
+            pltpu.VMEM((4 * k, bx + 2 * _FIX_MX), jnp.float32),
+            pltpu.VMEM((NSPEEDS, 2 * k, bx), jnp.float32),
+            pltpu.SemaphoreType.DMA,
+            pltpu.SemaphoreType.DMA,
+            pltpu.SemaphoreType.DMA,
+            pltpu.SMEM((k, 1), jnp.float32),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary",),
+        ),
+        interpret=interpret,
+    )
+
+    def chunk_fix(band, oband_f, scal):
+        band_x = jnp.concatenate(
+            [band[:, :, nx - _FIX_MX :], band, band[:, :, :_FIX_MX]], axis=2)
+        oband_x = jnp.concatenate(
+            [oband_f[:, nx - _FIX_MX :], oband_f, oband_f[:, :_FIX_MX]],
+            axis=1)
+        vals, av = call(band_x, oband_x, scal)
+        return vals, av[:, 0]
+
+    return chunk_fix

@@ -95,6 +95,10 @@ def pick_tile(
 
 
 def supported(h: int, nx: int, k: int) -> bool:
+    # Any width: the paired seam fix is the monolithic kernel up to
+    # pallas_kstep_skew.MONO_FIX_NX_MAX (its scoped VMEM grows ~3.4 KB per
+    # lane column — measured 26.5 MB compile OOM at nx=8192, r4) and the
+    # x-tiled fix (make_skew_fix_tiled) beyond; the runner picks.
     tile = pick_tile(h, nx) if h % 8 == 0 else None
     return (
         k == SKEW_K
