@@ -192,3 +192,20 @@ def test_wide_grids_supported_via_tiled_fix():
     assert pks.pick_fix_bx(8192) == 1024
     assert pks.pick_fix_bx(4224) == 384   # non-power-of-two widths too
     assert not pks.supported(8192, 8192, pks.SKEW_K)  # 1-D stays out
+
+
+def test_skew2d_ring_with_tiled_fix_matches_oracle(monkeypatch):
+    """Multi-device: the x-tiled fix composes with the shard ring (the fix
+    band crosses shards via the 2K-row slab exactly as the monolithic one)."""
+    from tpulbm.ops import pallas_kstep_skew2d as sk2
+
+    monkeypatch.setattr(pks, "MONO_FIX_NX_MAX", 128)
+    p, obst = _random_case(128, 512)
+    n = 8
+    p = type(p)(**{**p.__dict__, "max_iters": n})
+    f_ref, av_ref = run_steps(initial_state(p), obst, p, n)
+    r = _make_skew_runner(
+        p, n, get_mesh(n_devices=2), maker=sk2.make_skew2d)
+    f, av = r(initial_state(p), obst)
+    assert np.array_equal(np.asarray(f), np.asarray(f_ref))
+    np.testing.assert_allclose(np.asarray(av), np.asarray(av_ref), rtol=2e-5)
