@@ -49,6 +49,36 @@ def test_should_write_artifact_guard():
     # walls absent on either side: fall back to the window-only rule
     assert g(fast, healthy)
     assert g(healthy, slow)
+    # dispatch-bound sits between healthy and degraded (r4): it may replace
+    # degraded/unknown but not healthy, and keeps its own best wall
+    disp = {"window": "dispatch-bound", "wall_mlups": 11803.0}
+    assert g(degraded, disp)
+    assert g(unknown, disp)
+    assert not g(healthy, disp)
+    assert not g(disp, degraded)
+    assert g(disp, healthy)
+    assert not g(disp, {"window": "dispatch-bound", "wall_mlups": 11000.0})
+    assert g(disp, {"window": "dispatch-bound", "wall_mlups": 12000.0})
+    # degraded-over-degraded refreshes must not lower a recorded best device
+    dslow = {"window": "degraded", "device_mlups": 20000.0}
+    dfast = {"window": "degraded", "device_mlups": 22461.0}
+    assert not g(dfast, dslow)
+    assert g(dslow, dfast)
+
+
+def test_classify_window():
+    bench = _load("bench", os.path.join(REPO, "bench.py"))
+    c = bench.classify_window
+    assert c(1.0, None) == "unknown"
+    assert c(1.3, 1.0) == "healthy"
+    # 55 ms wall / 27 ms device (the 128x128 shape): one ~28 ms launch
+    # round trip, pool healthy -> dispatch-bound, not degraded
+    assert c(0.055, 0.027) == "dispatch-bound"
+    # a genuinely starved small run blows the absolute gap immediately
+    assert c(0.36, 0.027) == "degraded"
+    # large decks never qualify as dispatch-bound: 1.5x of seconds-scale
+    # device time is far beyond the 60 ms gap allowance
+    assert c(3.0, 1.5) == "degraded"
 
 
 def test_tpu_health_nominal_tracks_committed_artifact():
