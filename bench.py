@@ -67,18 +67,20 @@ def classify_window(wall_s, dev_s):
     return "degraded"
 
 
-_WINDOW_RANK = {"healthy": 2, "dispatch-bound": 1, "degraded": 0,
+_WINDOW_RANK = {"healthy": 3, "dispatch-bound": 2, "degraded": 1,
                 "unknown": 0}
 
 
 def should_write_artifact(existing, new, force=False):
     """Guard committed bench artifacts against silent regression: a sample
     from a worse window class never overwrites a better one (healthy >
-    dispatch-bound > degraded/unknown), and within a class the artifact
+    dispatch-bound > degraded > unknown), and within a class the artifact
     keeps the deck's best capture (wall for healthy/dispatch-bound windows,
-    device for degraded ones — window luck on the shared chip; the
-    reference's own best-run practice), unless forced (pass
-    --force-artifact after a kernel change that genuinely slows a deck)."""
+    device for degraded/unknown ones — window luck on the shared chip; the
+    reference's own best-run practice). A new sample missing the class's
+    comparison measurement never replaces one that has it. Forced writes
+    (pass --force-artifact after a kernel change that genuinely slows a
+    deck) bypass all of this."""
     if force or existing is None:
         return True
     old_rank = _WINDOW_RANK.get(existing.get("window"), 0)
@@ -87,8 +89,10 @@ def should_write_artifact(existing, new, force=False):
         return False
     if new_rank > old_rank:
         return True
-    key = "wall_mlups" if new_rank > 0 else "device_mlups"
+    key = "wall_mlups" if new_rank > 1 else "device_mlups"
     old_v, new_v = existing.get(key), new.get(key)
+    if old_v is not None and new_v is None:
+        return False
     if old_v is not None and new_v is not None and new_v < old_v:
         return False
     return True
@@ -280,9 +284,12 @@ def main():
                 fh.write("\n")
             log(f"artifact -> {out_file}")
         else:
-            log(f"REFUSING to overwrite healthy-window artifact {out_file} "
-                f"with a {art['window']}-window sample (pass "
-                "--force-artifact to override)")
+            log(f"REFUSING to overwrite {existing.get('window')}-window "
+                f"artifact {out_file} (recorded wall={existing.get('wall_mlups')} "
+                f"device={existing.get('device_mlups')} MLUPS) with a "
+                f"{art['window']}-window sample (wall={art.get('wall_mlups')} "
+                f"device={art.get('device_mlups')}); pass --force-artifact "
+                "to override")
     print(json.dumps(out))
 
 

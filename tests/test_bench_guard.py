@@ -46,8 +46,9 @@ def test_should_write_artifact_guard():
     assert not g(fast, slow)
     assert g(slow, fast)
     assert g(fast, slow, force=True)
-    # walls absent on either side: fall back to the window-only rule
-    assert g(fast, healthy)
+    # wall absent on the EXISTING side: the window-only rule applies; a new
+    # sample missing the wall never replaces a recorded one (r4 advisor)
+    assert not g(fast, healthy)
     assert g(healthy, slow)
     # dispatch-bound sits between healthy and degraded (r4): it may replace
     # degraded/unknown but not healthy, and keeps its own best wall
@@ -64,6 +65,18 @@ def test_should_write_artifact_guard():
     dfast = {"window": "degraded", "device_mlups": 22461.0}
     assert not g(dfast, dslow)
     assert g(dslow, dfast)
+    # unknown ranks BELOW degraded (r4 advisor): an unknown-window sample —
+    # which by definition carries no device measurement — must not replace
+    # a degraded artifact's recorded best device number
+    assert not g(dfast, unknown)
+    assert not g(degraded, unknown)
+    assert g(unknown, degraded)
+    # within a class, a sample missing the comparison measurement never
+    # replaces one that has it (r4 advisor: the skipped-comparison hole)
+    assert not g(dfast, {"window": "degraded"})
+    assert not g(fast, {"window": "healthy"})
+    assert g({"window": "degraded"}, dfast)
+    assert g(unknown, unknown)
 
 
 def test_classify_window():

@@ -7,6 +7,7 @@ import numpy as np
 from tpulbm.dist.mesh import get_mesh
 from tpulbm.sim.simulation import Simulation
 
+REPO = "/root/repo"
 DATA = "/root/repo/data"
 PARAMS = os.path.join(DATA, "input_128x128.params")
 OBST = os.path.join(DATA, "obstacles_128x128.dat")
@@ -275,6 +276,25 @@ def test_checker_cli(tmp_path):
         "--ref-av-vels-file", av, "--ref-final-state-file", fs,
         "--av-vels-file", str(bad), "--final-state-file", fs,
     ]) == 0
+
+
+def test_checker_module_run_is_warning_free():
+    """``python -m tpulbm.validation.check`` (the ``make check`` command)
+    must not trip runpy's re-executed-module RuntimeWarning — the package
+    ``__init__`` re-exports check_results lazily for exactly this reason
+    (round-4 verdict item 8)."""
+    import subprocess
+    import sys
+
+    golden = os.path.join(REPO, "tests", "goldens", "128x128.av_vels.dat")
+    proc = subprocess.run(
+        [sys.executable, "-W", "error::RuntimeWarning", "-m",
+         "tpulbm.validation.check", "--av-vels-only",
+         "--ref-av-vels-file", golden, "--av-vels-file", golden],
+        capture_output=True, text=True, cwd=REPO, timeout=300,
+    )
+    assert proc.returncode == 0, proc.stderr[-2000:]
+    assert "RuntimeWarning" not in proc.stderr
 
 
 def test_checker_npz_golden(tmp_path):
