@@ -81,6 +81,58 @@ def test_two_process_cli_matches_single_process(tmp_path):
     np.testing.assert_allclose(a, b, rtol=1e-5)
 
 
+def test_two_process_save_single_process_restore(tmp_path):
+    """Round-4 verdict item 7 (process elasticity): an orbax checkpoint
+    written by a REAL 2-process gloo group — each process wrote only its own
+    shards — must restore in a SINGLE process and continue to the same
+    answer. final_state is the byte-exact gate (as in the sibling tests);
+    the av series matches up to reduction order."""
+    env = dict(os.environ)
+    env.pop("JAX_PLATFORMS", None)
+    env["PYTHONPATH"] = os.pathsep.join(
+        ["/root/repo"] + env.get("PYTHONPATH", "").split(os.pathsep)
+    )
+    deck = ["data/input_128x128.params", "data/obstacles_128x128.dat",
+            "--backend", "jnp"]
+
+    ck = tmp_path / "ck"
+    part1 = tmp_path / "part1"
+    proc = subprocess.run(
+        ["bash", "scripts/launch_multihost.sh", "--local-smoke", "2x4",
+         *deck, "--max-iters", "30", "--out-dir", str(part1),
+         "--ckpt-backend", "orbax", "--checkpoint-every", "30",
+         "--checkpoint-dir", str(ck)],
+        capture_output=True, text=True, env=env, cwd="/root/repo",
+        timeout=600,
+    )
+    assert proc.returncode == 0, proc.stderr[-3000:]
+    assert (ck / "ckpt_00000030.orbax").is_dir()
+
+    env_sp = dict(env, JAX_PLATFORMS="cpu",
+                  XLA_FLAGS="--xla_force_host_platform_device_count=8")
+
+    def single(outdir, *extra):
+        p = subprocess.run(
+            [sys.executable, "-m", "tpulbm", *deck, "--device-count", "8",
+             "--max-iters", "60", "--out-dir", str(outdir), *extra],
+            capture_output=True, text=True, env=env_sp, cwd="/root/repo",
+            timeout=600,
+        )
+        assert p.returncode == 0, p.stderr[-3000:]
+
+    resumed = tmp_path / "resumed"
+    single(resumed, "--resume", str(ck))
+    straight = tmp_path / "straight"
+    single(straight)
+
+    assert (resumed / "final_state.dat").read_text() == (
+        straight / "final_state.dat"
+    ).read_text()
+    a = np.loadtxt(resumed / "av_vels.dat", usecols=[1])
+    b = np.loadtxt(straight / "av_vels.dat", usecols=[1])
+    np.testing.assert_allclose(a, b, rtol=1e-5)
+
+
 @pytest.mark.slow
 def test_two_process_orbax_checkpoint_restore(tmp_path):
     """Round-2 verdict item 7: orbax save + sharding-aware restore across a

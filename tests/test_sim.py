@@ -72,6 +72,38 @@ def test_checkpoint_resume_bitwise_orbax(tmp_path):
     np.testing.assert_array_equal(full.av_vels[:40], resumed.av_vels[:40])
 
 
+def test_checkpoint_elastic_across_device_counts(tmp_path):
+    """Round-4 verdict item 7: a checkpoint saved on an 8-device mesh must
+    restore on 4 devices and on 1 — the real-world resume-on-different-
+    hardware case — for BOTH backends. Stepping is bitwise device-count
+    invariant (test_dist), so the continuation on the new mesh must match
+    that mesh's own uninterrupted run bitwise, and the restored av prefix is
+    the saving mesh's series verbatim."""
+    for bk in ("npz", "orbax"):
+        ckdir = tmp_path / bk
+        saver = Simulation.from_files(PARAMS, OBST, mesh=get_mesh(n_devices=8),
+                                      backend="jnp", ckpt_backend=bk)
+        saver.run(n_steps=25)
+        saver.save_checkpoint(ckdir)
+
+        for n in (4, 1):
+            full = Simulation.from_files(
+                PARAMS, OBST, mesh=get_mesh(n_devices=n), backend="jnp")
+            full.run(n_steps=40)
+            resumed = Simulation.from_files(
+                PARAMS, OBST, mesh=get_mesh(n_devices=n), backend="jnp")
+            resumed.restore_checkpoint(ckdir)
+            assert resumed.step_count == 25
+            resumed.run(n_steps=15)
+            assert np.array_equal(np.asarray(full.f), np.asarray(resumed.f)), (
+                bk, n)
+            np.testing.assert_array_equal(
+                resumed.av_vels[:25], saver.av_vels[:25], err_msg=f"{bk}/{n}")
+            np.testing.assert_array_equal(
+                resumed.av_vels[25:40], full.av_vels[25:40],
+                err_msg=f"{bk}/{n}")
+
+
 def test_orbax_restore_is_sharded(tmp_path):
     """Round-2 verdict item 7: orbax restore must place shards directly on
     the mesh (per-device shards of ny/n rows), not round-trip a gathered
