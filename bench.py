@@ -172,8 +172,17 @@ def main():
     # warm-up run is also timed as a fallback measurement: the shared chip
     # occasionally degrades several-fold for minutes, and the time budget
     # below keeps the benchmark from hanging inside such a window.
+    float(obst.sum())  # settle the obstacle upload before any timed region
     t_start = time.perf_counter()
     f = initial_state(params)
+    # Settle the asynchronous host->device upload of the state BEFORE the
+    # clock starts (1-element readback; the device can only serve it once
+    # the buffer landed). The reference's tic also starts after initialise
+    # with the grids fully resident (d2q9-bgk.c:278-279) — an in-flight
+    # 36 MB tunnel transfer inside the timed region was the entire
+    # 1024^2 wall-vs-device gap (scripts/attribute_wall.py, round 5:
+    # 1.19-1.56 s as-is vs 0.843 s settled against 0.816 s device).
+    float(f[0, 0, 0])
     t0 = time.perf_counter()
     f, av = runner(f, obst)
     tail = float(av[-1])
@@ -193,6 +202,7 @@ def main():
             log("time budget exhausted; using measurements so far")
             break
         g = initial_state(params)
+        float(g[0, 0, 0])  # settle the upload outside the timed region
         trace_dir = tempfile.mkdtemp(prefix="benchtrace") if rep == 0 else None
         t0 = time.perf_counter()
         if trace_dir:

@@ -13,10 +13,12 @@ benchmark numbers are meaningless.
 import sys
 import time
 
-# Healthy-window end-to-end wall on the skew-era production runner:
-# 1.110 s / 20000 steps = 55.5 us/step (bench_artifacts/1024x1024.json
-# @73d18e5; device 40.8). The pre-skew nominal was 78.
-NOMINAL_US = 55.5
+# Healthy-window end-to-end wall on the skew-era production runner with the
+# state upload settled before the clock: 0.841 s / 20000 steps = 42.1
+# us/step (bench_artifacts/1024x1024.json, round 5; device 40.8). Earlier
+# nominals (55.5, 78) included an in-flight 36 MB upload in the timed
+# region (scripts/attribute_wall.py).
+NOMINAL_US = 42.1
 
 
 def main():
@@ -35,14 +37,17 @@ def main():
     n = 1000
     runner = make_runner(params, n, mesh=get_mesh(n_devices=1),
                          backend="pallas")
+    float(obst.sum())
     f = initial_state(params)
-    t0 = time.perf_counter()
+    float(f[0, 0, 0])  # settle the upload: a 36 MB transfer would dwarf
+    t0 = time.perf_counter()  # the 1000-step probe (attribute_wall.py)
     f, av = runner(f, obst)
     _ = float(av[-1])
     warm = time.perf_counter() - t0
     best = float("inf")
     for _rep in range(2):
         g = initial_state(params)
+        float(g[0, 0, 0])
         t0 = time.perf_counter()
         g, av = runner(g, obst)
         _ = float(av[-1])

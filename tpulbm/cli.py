@@ -183,6 +183,10 @@ def main(argv=None) -> int:
         except (FileNotFoundError, ValueError) as e:
             return die(f"cannot resume: {e}")
 
+    # The reference starts its clock after initialise, grids resident
+    # (d2q9-bgk.c:278-279); settle async uploads so the timed region is the
+    # solve, not the tunnel transfer (scripts/attribute_wall.py).
+    sim.settle()
     tic = time.time()
     try:
         with trace_region("mainloop", args.profile_dir):

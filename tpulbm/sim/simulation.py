@@ -90,6 +90,18 @@ class Simulation:
         return cls(params.with_free_cells(num_free), mask, mesh=mesh,
                    backend=backend, ckpt_backend=ckpt_backend)
 
+    def settle(self) -> None:
+        """Force pending host->device uploads of the state/obstacles to
+        complete (1-element readbacks — the device can only serve them once
+        the buffers landed; the tunneled platform's block_until_ready is
+        unreliable). The reference's tic starts after ``initialise`` with
+        the grids fully resident (d2q9-bgk.c:278-279); without this an
+        asynchronous 36 MB transfer rides inside the CLI's timed region
+        (measured: the whole 1024^2 wall-vs-device gap,
+        scripts/attribute_wall.py)."""
+        float(self.f[0, 0, 0])
+        bool(self.obstacles[0, 0])
+
     def _runner(self, n_steps: int):
         # Each distinct size compiles its own jitted scan (several minutes at
         # 4096^2 scale), so run() plans chunk sizes with _plan_chunks to keep
