@@ -1,0 +1,138 @@
+"""Lane-fold layout: evolve (ny, nx) as (ny*F, nx/F) — the folded grid.
+
+Wide grids (nx > 1536) fall off the ratio-1.0 1-D skew tier because a full
+row exceeds the hardware-probed VMEM window budget; the 2-D tiled skew that
+catches them runs ~13% slower (window-ratio overhead + exposed realignment
+rolls, docs/measurements/round4.md). The fold routes AROUND that wall: split
+each row into F strips of width W = nx/F and interleave them in y,
+
+    G[c, y*F + s, x'] = f[c, y, s*W + x']        (s in [0, F), x' in [0, W))
+
+which is **literally ``f.reshape(9, ny*F, W)``** — a free relayout (the
+strips of one row are contiguous, so the folded row-major order IS the
+original row-major order). Under the fold the D2Q9 pull stencil becomes:
+
+- y-shifts: uniform folded-row shifts by F*CY[c], torus-periodic mod ny*F
+  (the interleaving makes the y-wrap land in the right strip by itself);
+- x-shifts: lane shifts by CX[c] whose WRAP lane re-aims one folded row off
+  — the +x wrap of (r, 0) is (r-1, W-1) for strips s>0 and (r+F-1, W-1)
+  for s=0 (the true torus x-wrap), and mirrored for -x. Only one lane
+  column per shifted channel needs the re-aim — the same in-register patch
+  family as window_step.x_wrap_patch, with a row shift (the strip carry).
+- the accelerated row ny-2 becomes F consecutive folded rows
+  [(ny-2)*F, (ny-2)*F + F).
+
+Physics arithmetic is untouched — fold, evolve, unfold is bitwise the
+unfolded evolution (tests/test_fold.py pins this against ops/step_jnp);
+only the |u| series reduces in a different shape (addition order), the
+same caveat as every tiled kernel.
+
+This module holds the fold/unfold helpers and the folded-space jnp oracle;
+ops/pallas_kstep_skew_fold.py is the production-candidate kernel measured
+against the 2-D tiled skew (round-5 verdict item 2).
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+from tpulbm.core.lattice import CX, CY, NSPEEDS
+from tpulbm.core.params import LBMParams
+from tpulbm.core import physics
+
+
+def fold(f: jnp.ndarray, F: int) -> jnp.ndarray:
+    """(..., ny, nx) -> (..., ny*F, nx/F); a pure reshape (free)."""
+    *lead, ny, nx = f.shape
+    assert nx % F == 0, (nx, F)
+    return f.reshape(*lead, ny * F, nx // F)
+
+
+def unfold(g: jnp.ndarray, F: int) -> jnp.ndarray:
+    """(..., ny*F, W) -> (..., ny, W*F); inverse of fold (also free)."""
+    *lead, hf, w = g.shape
+    assert hf % F == 0, (hf, F)
+    return g.reshape(*lead, hf // F, w * F)
+
+
+def strip_masks(n_rows: int, F: int, base: int = 0):
+    """(s0, sF1): boolean (n_rows, 1) masks of folded rows whose strip index
+    ((base + r) mod F) is 0 / F-1 — the rows whose x-wrap lane crosses the
+    true torus x-boundary."""
+    r = jax.lax.broadcasted_iota(jnp.int32, (n_rows, 1), 0) + base
+    s = jax.lax.rem(r, F)
+    return s == 0, s == F - 1
+
+
+def pull_folded(g: jnp.ndarray, F: int) -> list[jnp.ndarray]:
+    """Folded-space pull streaming: bitwise fold(pull(unfold(g)))."""
+    hf, w = g.shape[-2:]
+    s0, sF1 = strip_masks(hf, F)
+    t = []
+    for k in range(NSPEEDS):
+        v = g[k]
+        if CY[k] != 0:
+            v = jnp.roll(v, F * CY[k], axis=0)
+        if CX[k] != 0:
+            v_pre = v
+            v = jnp.roll(v, CX[k], axis=1)
+            if CX[k] == 1:
+                # wrap lane 0: row above-strip carry (s>0 -> r-1; s=0 ->
+                # r+F-1, the torus x-wrap landing in strip F-1)
+                src = jnp.where(
+                    s0,
+                    jnp.roll(v_pre, -(F - 1), axis=0)[:, -1:],
+                    jnp.roll(v_pre, 1, axis=0)[:, -1:],
+                )
+                v = jnp.concatenate([src, v[:, 1:]], axis=1)
+            else:
+                src = jnp.where(
+                    sF1,
+                    jnp.roll(v_pre, F - 1, axis=0)[:, :1],
+                    jnp.roll(v_pre, -1, axis=0)[:, :1],
+                )
+                v = jnp.concatenate([v[:, :-1], src], axis=1)
+        t.append(v)
+    return t
+
+
+def accelerate_folded(g: jnp.ndarray, obstacles_g: jnp.ndarray,
+                      params: LBMParams, F: int) -> jnp.ndarray:
+    """Masked inflow acceleration on the F folded rows of global row ny-2
+    (bitwise ops/step_jnp.accelerate under the fold)."""
+    w1 = jnp.float32(params.accel_w1)
+    w2 = jnp.float32(params.accel_w2)
+    rows = slice(params.accel_row * F, params.accel_row * F + F)
+    f3, f6, f7 = g[3, rows], g[6, rows], g[7, rows]
+    mask = (
+        (~obstacles_g[rows])
+        & (f3 - w1 > 0.0)
+        & (f6 - w2 > 0.0)
+        & (f7 - w2 > 0.0)
+    )
+    zero = jnp.float32(0.0)
+    dw1 = jnp.where(mask, w1, zero)
+    dw2 = jnp.where(mask, w2, zero)
+    upd = jnp.stack(
+        [
+            g[1, rows] + dw1,
+            g[3, rows] - dw1,
+            g[5, rows] + dw2,
+            g[6, rows] - dw2,
+            g[7, rows] - dw2,
+            g[8, rows] + dw2,
+        ]
+    )
+    return g.at[jnp.array([1, 3, 5, 6, 7, 8]), rows].set(upd)
+
+
+def lbm_step_folded(g: jnp.ndarray, obstacles_g: jnp.ndarray,
+                    params: LBMParams, F: int):
+    """One folded-space step; (g', av) bitwise equal (after unfold) to
+    ops/step_jnp.lbm_step on the unfolded state."""
+    g = accelerate_folded(g, obstacles_g, params, F)
+    t = pull_folded(g, F)
+    out, speed = physics.collide(t, obstacles_g, params.omega)
+    return jnp.stack(out), jnp.sum(speed, dtype=jnp.float32) * jnp.float32(
+        params.free_cells_inv)
