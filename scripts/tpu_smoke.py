@@ -113,6 +113,15 @@ def _tiers():
         assert r is not None
         return r
 
+    def fold(p, n):
+        # lane-folded skew (A/B candidate for wide grids, r5); hardware is
+        # BITWISE vs the oracle where the CPU interpreter rounds isolated
+        # accel-row cells 1 ULP off (docs/VALIDATION.md §4)
+        from tpulbm.ops import pallas_kstep_skew_fold as pkf
+
+        assert pkf.supported(p.ny, p.nx, 2)
+        return pkf.make_fold_runner(p, n, F=2)
+
     return [
         ("resident", 128, 128, 16, resident),
         ("resident-hbm", 256, 512, 16, resident_hbm),
@@ -126,6 +135,7 @@ def _tiers():
         ("1-step", 16, 128, 4, one_step),       # rows too thin for K tiers
         ("padded", 100, 128, 16, padded),       # ny % 8 != 0 row extension
         ("xpad", 128, 200, 16, xpad),           # nx % 128 != 0 col extension
+        ("fold", 96, 256, 16, fold),            # lane-folded skew, F=2
     ]
 
 
