@@ -114,13 +114,22 @@ def _tiers():
         return r
 
     def fold(p, n):
-        # lane-folded skew (A/B candidate for wide grids, r5); hardware is
-        # BITWISE vs the oracle where the CPU interpreter rounds isolated
-        # accel-row cells 1 ULP off (docs/VALIDATION.md §4)
+        # lane-folded skew (wide-grid tier, r5); hardware is BITWISE vs
+        # the oracle where the CPU interpreter rounds isolated accel-row
+        # cells 1 ULP off (docs/VALIDATION.md §4)
         from tpulbm.ops import pallas_kstep_skew_fold as pkf
 
         assert pkf.supported(p.ny, p.nx, 2)
         return pkf.make_fold_runner(p, n, F=2)
+
+    def fold_f4(p, n):
+        # F=4 exercises the PADDED fix band (2*(m+K) = 44 rows is not
+        # 8-aligned — the natural band failed Mosaic compilation, r5;
+        # fix_band_side pads it to 48)
+        from tpulbm.ops import pallas_kstep_skew_fold as pkf
+
+        assert pkf.supported(p.ny, p.nx, 4)
+        return pkf.make_fold_runner(p, n, F=4)
 
     return [
         ("resident", 128, 128, 16, resident),
@@ -136,6 +145,7 @@ def _tiers():
         ("padded", 100, 128, 16, padded),       # ny % 8 != 0 row extension
         ("xpad", 128, 200, 16, xpad),           # nx % 128 != 0 col extension
         ("fold", 96, 256, 16, fold),            # lane-folded skew, F=2
+        ("fold-f4", 64, 512, 16, fold_f4),      # F=4: padded fix band
     ]
 
 

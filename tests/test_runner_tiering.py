@@ -16,9 +16,14 @@ from tpulbm.ops import (pallas_kstep, pallas_kstep2d, pallas_kstep_skew,
 
 
 def _no_skew(monkeypatch):
-    """Disable both skew tiers to pin the classic tier order below them."""
+    """Disable the skew-family tiers (1-D, fold, 2-D) to pin the classic
+    tier order below them."""
+    from tpulbm.ops import pallas_kstep_skew_fold
+
     monkeypatch.setattr(pallas_kstep_skew, "supported",
                         lambda h, nx, k: False)
+    monkeypatch.setattr(pallas_kstep_skew_fold, "pick_fold",
+                        lambda ny, nx, k=8: None)
     monkeypatch.setattr(pallas_kstep_skew2d, "supported",
                         lambda h, nx, k: False)
 
@@ -80,6 +85,33 @@ def test_large_grid_routes_to_skew_then_kstep(monkeypatch):
     runner_mod.make_runner(_params(), 8, get_mesh(n_devices=1),
                            backend="pallas")
     assert calls == {"kstep": 1}
+
+
+def test_wide_grid_routes_to_fold_before_skew2d(monkeypatch):
+    """Wide single-device grids in the foldable family ride the lane-folded
+    skew (r5: +9.1%/+6.8% device over the 2-D tiled skew at 2048²/4096²);
+    (48, 2048) folds to (96, 1024) at F=2. Multi-device keeps the sharded
+    tiers (the fold runner is single-device)."""
+    from tpulbm.ops import pallas_kstep_skew_fold
+
+    built = []
+    monkeypatch.setattr(
+        pallas_kstep_skew_fold, "make_fold_runner",
+        lambda *a, **k: built.append(True) or (lambda f, o: (f, None)),
+    )
+    monkeypatch.setattr(pallas_resident, "supported", lambda ny, nx: False)
+    monkeypatch.setattr(pallas_resident, "supported_hbm",
+                        lambda ny, nx: False)
+    p = _params(nx=2048, ny=48)
+    assert pallas_kstep_skew_fold.pick_fold(48, 2048) == 2
+    runner_mod.make_runner(p, 16, get_mesh(n_devices=1), backend="pallas")
+    assert built == [True]
+
+    # a 2-device mesh never takes the fold even for a foldable global
+    # shape (the fold runner is single-device; sharded tiers keep it)
+    built.clear()
+    runner_mod.make_runner(p, 16, get_mesh(n_devices=2), backend="pallas")
+    assert built == []
 
 
 def test_wide_grid_routes_to_kstep2d_then_bands(monkeypatch):

@@ -1607,6 +1607,17 @@ def make_runner(
             # Skewed parallelogram schedule: zero margin recompute
             # (compute/owned ratio 1.0 in y) — fastest 1-D tier measured.
             return _make_skew_runner(params, n_steps, mesh, axis_name)
+        from tpulbm.ops import pallas_kstep_skew_fold
+
+        if (n_dev == 1 and n_steps >= pallas_kstep_skew_fold.FOLD_K
+                and pallas_kstep_skew_fold.pick_fold(
+                    params.ny, params.nx) is not None):
+            # Wide grids that fold onto the 1-D window budget: evolve the
+            # lane-folded (ny*F, nx/F) layout (a free reshape) — measured
+            # +9.1%/+6.8% device over the 2-D tiled skew at 2048²/4096²
+            # (docs/measurements/round5.md; sub-K remainder runs the folded
+            # jnp oracle inside the same jit).
+            return pallas_kstep_skew_fold.make_fold_runner(params, n_steps)
         from tpulbm.ops import pallas_kstep_skew2d
 
         if (n_steps >= pallas_kstep_skew.SKEW_K and skew_rem_ok

@@ -96,12 +96,11 @@ def supported(ny: int, nx: int, F: int, k: int = FOLD_K) -> bool:
     hf = ny * F
     if w % 128 or (8 * slide(F)) % F:
         return False
-    m = 8 * slide(F) // F
     by = pick_by(hf, w, F)
     return (
         by is not None
         and hf // by >= 2
-        and ny >= 2 * (m + k)     # the unfolded fix band must fit the torus
+        and ny >= 2 * fix_band_side(F, k)  # the fix band must fit the torus
         and hf >= 2 * k * slide(F) + by  # main keeps some rows every step
     )
 
@@ -432,6 +431,20 @@ def fix_band_half(F: int) -> int:
     return 8 * slide(F) // F
 
 
+def fix_band_side(F: int, k: int = FOLD_K) -> int:
+    """Per-side band rows: m + K rounded up to a 4-multiple so the band
+    height 2*bh is 8-aligned — Mosaic rejects DMA slice shapes off the
+    (8, 128) tiling (the F=4 band's natural 2*(14+8) = 44 rows failed to
+    compile on hardware, round-5; F=2's 40 passed only by luck)."""
+    return -(-(fix_band_half(F) + k) // 4) * 4
+
+
+def fix_vals_rows(F: int, k: int = FOLD_K) -> int:
+    """8-aligned row count of the fix kernel's vals output (covers the
+    2m owned rows; 2m itself is not an 8-multiple for F in {4, 8})."""
+    return -(-2 * fix_band_half(F) // 8) * 8
+
+
 _FIX_MX = 128  # lane margin per tile side (garbage moves <= K lanes)
 
 
@@ -447,6 +460,8 @@ def _fix_kernel(
     acc,
     *,
     m: int,
+    bh: int,
+    vrows: int,
     bx: int,
     k_steps: int,
     ny_global: int,
@@ -455,15 +470,18 @@ def _fix_kernel(
     w2: float,
 ):
     """x-tiled classic recompute of the fold seam (the plain-semantics twin
-    of pallas_kstep_skew._fix_tiled_kernel): band height 2(m+K) instead of
-    4K, and a CONSTANT owned-row window [K, K+2m) — the folded main kernel
-    sums global folded rows [E, HF-E) at EVERY step, so the complement is
-    the same unfolded rows [-m, m) at every step (owned_step_dy=0), unlike
-    the F=1 skew whose coverage slides."""
+    of pallas_kstep_skew._fix_tiled_kernel): band rows [-bh, bh) with
+    bh >= m+K (padded to keep DMA shapes 8-aligned, fix_band_side), and a
+    CONSTANT owned-row window [bh-m, bh+m) — the folded main kernel sums
+    global folded rows [E, HF-E) at EVERY step, so the complement is the
+    same unfolded rows [-m, m) at every step (owned_step_dy=0), unlike the
+    F=1 skew whose coverage slides. vals stages the 8-aligned row window
+    [K, K+vrows) — the clean region after K steps of edge roll-in —
+    which contains [-m, m); the caller slices the exact 2m rows."""
     k = k_steps
     i = pl.program_id(0)
     n = pl.num_programs(0)
-    hband = 2 * (m + k)
+    hband = 2 * bh
     bxw = bx + 2 * _FIX_MX
     zero = np.float32(0.0)
 
@@ -491,16 +509,16 @@ def _fix_kernel(
     accel_sel = jax.lax.rem(row_ids - a_off + 2 * ny_global, ny_global) == 0
 
     # in-window roll garbage moves 1 row / 1 lane per step from the band and
-    # margin edges; the owned cells sit exactly K rows / _FIX_MX >> K lanes
+    # margin edges; the owned cells sit >= K rows / _FIX_MX >> K lanes
     # inside, so K steps leave them clean
     w, parts = window_step.fused_window_steps(
         w, blocked, accel_sel, k, omega, w1, w2,
-        owned=(slice(k, k + 2 * m), slice(_FIX_MX, _FIX_MX + bx)),
+        owned=(slice(bh - m, bh + m), slice(_FIX_MX, _FIX_MX + bx)),
     )
     for s, part in enumerate(parts):
         acc[s, 0] = acc[s, 0] + part
     for c in range(NSPEEDS):
-        vstage[c] = w[c][k : k + 2 * m, _FIX_MX : _FIX_MX + bx]
+        vstage[c] = w[c][k : k + vrows, _FIX_MX : _FIX_MX + bx]
     cp_out = pltpu.make_async_copy(
         vstage, vals_ref.at[:, :, pl.ds(x0, bx)], sem_out)
     cp_out.start()
@@ -524,24 +542,28 @@ def make_fold_fix(
     bx: Optional[int] = None,
 ):
     """Seam-band fix paired with the folded main kernel:
-    ``chunk_fix(band, oband_f, scal) -> (vals (9, 2m, nx), av[k])`` with
-    ``band`` the UNFOLDED pre-chunk rows [-(m+K), m+K) (the caller reshapes
-    the folded seam slab — free). The band is x-extended by 128 torus wrap
-    columns per side inside this wrapper, as in make_skew_fix_tiled."""
+    ``chunk_fix(band, oband_f, scal) -> (vals (9, vrows, nx), av[k])`` with
+    ``band`` the UNFOLDED pre-chunk rows [-bh, bh), bh = fix_band_side(F)
+    (the caller reshapes the folded seam slab — free). The caller slices
+    the exact [-m, m) rows out of vals (offset bh - m - K). The band is
+    x-extended by 128 torus wrap columns per side inside this wrapper, as
+    in make_skew_fix_tiled."""
     from tpulbm.ops.pallas_kstep_skew import pick_fix_bx
 
     if interpret is None:
         interpret = window_step.default_interpret()
     k = k_steps
     m = fix_band_half(F)
-    hband = 2 * (m + k)
+    bh = fix_band_side(F, k)
+    vrows = fix_vals_rows(F, k)
+    hband = 2 * bh
     if bx is None:
         bx = pick_fix_bx(nx)
     if nx % bx or bx % 128:
         raise ValueError(f"fix tile width {bx} must be a 128-multiple "
                          f"divisor of nx={nx}")
     kernel = functools.partial(
-        _fix_kernel, m=m, bx=bx, k_steps=k, ny_global=ny,
+        _fix_kernel, m=m, bh=bh, vrows=vrows, bx=bx, k_steps=k, ny_global=ny,
         omega=float(omega), w1=float(accel_w1), w2=float(accel_w2),
     )
     any_spec = pl.BlockSpec(memory_space=pl.ANY)
@@ -558,13 +580,13 @@ def make_fold_fix(
             pl.BlockSpec(memory_space=pltpu.SMEM),
         ],
         out_shape=[
-            jax.ShapeDtypeStruct((NSPEEDS, 2 * m, nx), jnp.float32),
+            jax.ShapeDtypeStruct((NSPEEDS, vrows, nx), jnp.float32),
             jax.ShapeDtypeStruct((k, 1), jnp.float32),
         ],
         scratch_shapes=[
             pltpu.VMEM((NSPEEDS, hband, bx + 2 * _FIX_MX), jnp.float32),
             pltpu.VMEM((hband, bx + 2 * _FIX_MX), jnp.float32),
-            pltpu.VMEM((NSPEEDS, 2 * m, bx), jnp.float32),
+            pltpu.VMEM((NSPEEDS, vrows, bx), jnp.float32),
             pltpu.SemaphoreType.DMA,
             pltpu.SemaphoreType.DMA,
             pltpu.SemaphoreType.DMA,
@@ -625,7 +647,8 @@ def make_fold_runner(
     hf = ny * F
     E = k * slide(F)
     m = fix_band_half(F)
-    bh = m + k  # unfolded band rows per seam side
+    bh = fix_band_side(F, k)   # padded unfolded band rows per seam side
+    ve = bh - m - k            # [-m, m) offset inside the vals row window
     n_outer, rem = divmod(n_steps, k)
     mk = functools.partial(
         make_fold, ny, nx, F, params.omega, params.accel_w1,
@@ -664,7 +687,7 @@ def make_fold_runner(
             else:
                 g2, av = chunk_k(gc, og, scal, donor)
             vals, av_f = chunk_fix(band, ob_band, scal_fix)
-            vals_g = vals.reshape(NSPEEDS, 2 * E, w)
+            vals_g = vals[:, ve : ve + 2 * m, :].reshape(NSPEEDS, 2 * E, w)
             g2 = jax.lax.dynamic_update_slice(g2, vals_g[:, E:, :], (0, 0, 0))
             g2 = jax.lax.dynamic_update_slice(
                 g2, vals_g[:, :E, :], (0, hf - E, 0))
