@@ -15,7 +15,7 @@ esac
 ART_DIR="${ART_DIR:-bench_artifacts}"
 mkdir -p "$ART_DIR"
 fail=0
-for deck in 128x128 128x256 256x256 1024x1024 4096x4096; do
+for deck in 128x128 128x256 256x256 1024x1024 2048x2048 4096x4096 8192x8192; do
   if ! python bench.py --grid "$deck" --out "$ART_DIR/$deck.json" 2>/dev/null; then
     echo "BENCH FAILED: $deck" >&2
     fail=1

@@ -136,3 +136,127 @@ def lbm_step_folded(g: jnp.ndarray, obstacles_g: jnp.ndarray,
     out, speed = physics.collide(t, obstacles_g, params.omega)
     return jnp.stack(out), jnp.sum(speed, dtype=jnp.float32) * jnp.float32(
         params.free_cells_inv)
+
+
+# ---------------------------------------------------------------------------
+# Row-merge layout: the DUAL of the fold — evolve (ny, nx) as (ny/G, nx*G).
+#
+# Motivation: unaligned-lane decks (nx % 128 = 64: 320², 448², …) currently
+# pay a mirror-column extension tax provably bound at 83-88 % of the aligned
+# neighbour (BENCHMARKS.md tier sweep). Merging G consecutive physical rows
+# into one wide row,
+#
+#     M[y, s*nx + x] = f[y*G + s, x]        (s in [0, G), W = G*nx)
+#
+# is again **literally ``f.reshape(9, ny//G, nx*G)``** — free — and turns
+# 320² into an exactly lane-aligned (160, 640) grid with ZERO dead compute.
+# Under the merge the D2Q9 pull stencil becomes, per channel:
+#
+# - ONE combined lane roll by CY*nx + CX (the y-shift's block transition
+#   absorbs the x-shift);
+# - for CY != 0, a ±1 sublane roll of the SAME rolled plane selected on the
+#   boundary block's columns (block 0 for CY=+1, block G-1 for CY=-1) —
+#   the merged rows' torus wrap;
+# - for CX != 0, G patched lane columns (each block's x-wrap lane), values
+#   from the same (V, V2) pair one block over — the strip-carry dual.
+#
+# The dependence cone stays 1 merged row/step (unlike the fold's 2F-1), so
+# the standard K-step skew schedule applies unchanged in merged space.
+# Physics arithmetic is untouched: merge, evolve, unmerge is bitwise the
+# physical evolution (tests/test_merge.py); only the |u| series reduces in
+# a different shape (addition order), as for every tiled kernel.
+# ---------------------------------------------------------------------------
+
+
+def merge(f: jnp.ndarray, G: int) -> jnp.ndarray:
+    """(..., ny, nx) -> (..., ny/G, nx*G); a pure reshape (free)."""
+    *lead, ny, nx = f.shape
+    assert ny % G == 0, (ny, G)
+    return f.reshape(*lead, ny // G, nx * G)
+
+
+def unmerge(m: jnp.ndarray, G: int) -> jnp.ndarray:
+    """(..., ny/G, W) -> (..., ny, W/G); inverse of merge (also free)."""
+    *lead, h, w = m.shape
+    assert w % G == 0, (w, G)
+    return m.reshape(*lead, h * G, w // G)
+
+
+def pull_merged(m: jnp.ndarray, G: int, nx: int) -> list[jnp.ndarray]:
+    """Merged-space pull streaming: bitwise merge(pull(unmerge(m)))."""
+    h, W = m.shape[-2:]
+    assert W == G * nx, (W, G, nx)
+    col = jax.lax.broadcasted_iota(jnp.int32, (1, W), 1)
+    blk = col // nx
+    t = []
+    for k in range(NSPEEDS):
+        cy, cx = CY[k], CX[k]
+        v = m[k]
+        if cy == 0 and cx == 0:
+            t.append(v)
+            continue
+        v = jnp.roll(v, cy * nx + cx, axis=1)
+        if cy != 0:
+            v2 = jnp.roll(v, cy, axis=0)
+            boundary = 0 if cy == 1 else G - 1
+            sel = v2 if G == 1 else jnp.where(blk == boundary, v2, v)
+        else:
+            v2, boundary, sel = None, None, v
+        if cx != 0:
+            # each block's x-wrap lane re-aims one block over (same
+            # physical row): value = the (v, v2) pair at column ±nx
+            for s in range(G):
+                if cx == 1:
+                    dst = s * nx
+                    src = (dst + nx) % W
+                else:
+                    dst = s * nx + nx - 1
+                    src = (dst - nx) % W
+                plane = v2 if (cy != 0 and s == boundary) else v
+                sel = sel.at[:, dst].set(plane[:, src])
+        t.append(sel)
+    return t
+
+
+def accelerate_merged(m: jnp.ndarray, obstacles_m: jnp.ndarray,
+                      params: LBMParams, G: int, nx: int) -> jnp.ndarray:
+    """Masked inflow acceleration on the merged image of global row ny-2
+    (one block-column range of one merged row; bitwise
+    ops/step_jnp.accelerate under the merge)."""
+    w1 = jnp.float32(params.accel_w1)
+    w2 = jnp.float32(params.accel_w2)
+    y = params.accel_row // G
+    s = params.accel_row % G
+    cols = slice(s * nx, (s + 1) * nx)
+    f3, f6, f7 = m[3, y, cols], m[6, y, cols], m[7, y, cols]
+    mask = (
+        (~obstacles_m[y, cols])
+        & (f3 - w1 > 0.0)
+        & (f6 - w2 > 0.0)
+        & (f7 - w2 > 0.0)
+    )
+    zero = jnp.float32(0.0)
+    dw1 = jnp.where(mask, w1, zero)
+    dw2 = jnp.where(mask, w2, zero)
+    upd = jnp.stack(
+        [
+            m[1, y, cols] + dw1,
+            m[3, y, cols] - dw1,
+            m[5, y, cols] + dw2,
+            m[6, y, cols] - dw2,
+            m[7, y, cols] - dw2,
+            m[8, y, cols] + dw2,
+        ]
+    )
+    return m.at[jnp.array([1, 3, 5, 6, 7, 8]), y, cols].set(upd)
+
+
+def lbm_step_merged(m: jnp.ndarray, obstacles_m: jnp.ndarray,
+                    params: LBMParams, G: int, nx: int):
+    """One merged-space step; (m', av) bitwise equal (after unmerge) to
+    ops/step_jnp.lbm_step on the physical state."""
+    m = accelerate_merged(m, obstacles_m, params, G, nx)
+    t = pull_merged(m, G, nx)
+    out, speed = physics.collide(t, obstacles_m, params.omega)
+    return jnp.stack(out), jnp.sum(speed, dtype=jnp.float32) * jnp.float32(
+        params.free_cells_inv)
