@@ -131,6 +131,14 @@ def _tiers():
         assert pkf.supported(p.ny, p.nx, 4)
         return pkf.make_fold_runner(p, n, F=4)
 
+    def merge(p, n):
+        # row-merged skew (unaligned-deck tier, r5): the 320-lane class
+        # evolves as the exactly lane-aligned (ny/2, 640) merged grid
+        from tpulbm.ops import pallas_kstep_merge as pkm
+
+        assert pkm.supported(p.ny, p.nx, 2)
+        return pkm.make_merge_runner(p, n, G=2)
+
     return [
         ("resident", 128, 128, 16, resident),
         ("resident-hbm", 256, 512, 16, resident_hbm),
@@ -146,6 +154,7 @@ def _tiers():
         ("xpad", 128, 200, 16, xpad),           # nx % 128 != 0 col extension
         ("fold", 96, 256, 16, fold),            # lane-folded skew, F=2
         ("fold-f4", 64, 512, 16, fold_f4),      # F=4: padded fix band
+        ("merge", 96, 320, 16, merge),          # row-merged skew, G=2
     ]
 
 

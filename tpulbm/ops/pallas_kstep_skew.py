@@ -130,6 +130,9 @@ def _kernel(
     fix_collide_split: int = 1,
     canon_nx: int = 0,
     absorb_shift: bool = False,
+    merge_g: int = 0,
+    phys_nx: int = 0,
+    accel_block: int = -1,
 ):
     k = k_steps
     i = pl.program_id(0)
@@ -264,6 +267,14 @@ def _kernel(
             # from the |u| series
             cmask = jax.lax.broadcasted_iota(
                 jnp.int32, (by, nx), 1) < canon_nx
+        bm0 = bm_g1 = amask = None
+        if merge_g > 1:
+            # row-merged layout: boundary-block masks for the streaming
+            # and the accelerated row's block-column restriction
+            bm0, bm_g1 = window_step.merged_block_masks(
+                by, nx, merge_g, phys_nx)
+            amask = jax.lax.broadcasted_iota(
+                jnp.int32, (by, nx), 1) // phys_nx == accel_block
 
         skip = window_step.COST_SKIP  # instrumentation only (trace-time)
         for s in range(k):
@@ -280,6 +291,8 @@ def _kernel(
                 a_off = jax.lax.rem(
                     a_glob - (base - s) + 2 * ny_global, ny_global)
                 sel_free = (row_ids == a_off) & free_v
+                if amask is not None:
+                    sel_free = sel_free & amask
                 w = window_step.accel_update(w, sel_free, w1f, w2f)
             # hand our top-2 post-accel rows to the next block at this state
             if "sub" not in skip:
@@ -295,6 +308,14 @@ def _kernel(
             for c in range(NSPEEDS):
                 sc = subs[c] if "sub" not in skip else w[c][:2]
                 v = jnp.concatenate([junk6, sc, w[c]], axis=0)
+                if merge_g > 1:
+                    # row-merged streaming: one combined lane roll, the
+                    # boundary-block row carry rides the +1 realignment
+                    # (window_step.merged_stream_channel)
+                    t.append(window_step.merged_stream_channel(
+                        v, CY[c], CX[c], merge_g, phys_nx, bm0, bm_g1,
+                        realign=1, row_window=(_PAD, by)))
+                    continue
                 if "roll" not in skip:
                     r = (1 + CY[c]) % (by + _PAD)
                     if absorb_shift:
@@ -398,11 +419,15 @@ def _kernel(
                 a_glob - fix_base + 2 * ny_global, ny_global)
             accel_sel = jax.lax.rem(
                 rf - a_off_f + 2 * ny_global, ny_global) == 0
+            if merge_g > 1:
+                accel_sel = accel_sel & (jax.lax.broadcasted_iota(
+                    jnp.int32, (4 * k, nx), 1) // phys_nx == accel_block)
             wf, parts = window_step.fused_window_steps(
                 wf, blockedf, accel_sel, k, omega, w1, w2,
                 owned=(slice(2 * k - 1, 4 * k - 1), slice(0, nx)),
                 owned_step_dy=-1, collide_split=fix_collide_split,
                 x_canon=canon_nx or None,
+                merge_g=merge_g, phys_nx=phys_nx,
             )
             for s in range(k):
                 acc[s, 0] += parts[s]
@@ -452,6 +477,9 @@ def make_skew(
     canon_nx: int = 0,
     absorb_shift: bool = False,  # A/B knob: static-offset slices instead of
                                  # the per-step realignment rolls
+    merge_g: int = 0,            # row-merged layout (ops/fold.py merge):
+    phys_nx: int = 0,            # evolve the physical (h*G, nx/G... ) torus
+    accel_block: int = -1,       # as (h, nx = G*phys_nx); see make_merge
 ):
     """Returns ``(prepare, chunk)``:
 
@@ -486,6 +514,10 @@ def make_skew(
         raise ValueError(
             f"skew kernel unsupported for local shape ({h}, {nx}), K={k_steps}"
         )
+    if merge_g > 1:
+        assert not canon_nx and not absorb_shift, \
+            "merged layout excludes x-extension and absorb_shift"
+        assert nx == merge_g * phys_nx and 0 <= accel_block < merge_g
     if interpret is None:
         interpret = window_step.default_interpret()
     n_blocks = h // by
@@ -495,7 +527,8 @@ def make_skew(
         by=by, nx=nx, h=h, k_steps=k_steps, ny_global=ny_global,
         omega=float(omega), w1=float(accel_w1), w2=float(accel_w2),
         slots=slots, collide_split=collide_split, canon_nx=canon_nx,
-        absorb_shift=absorb_shift,
+        absorb_shift=absorb_shift, merge_g=merge_g, phys_nx=phys_nx,
+        accel_block=accel_block,
     )
     if not fused_fix:
         kernel = functools.partial(_kernel, **statics)

@@ -75,6 +75,82 @@ def _patch_col(v: jnp.ndarray, src: jnp.ndarray, col: int) -> jnp.ndarray:
     return jnp.where(cid == col, src, v)
 
 
+def _patch_col_mid(v: jnp.ndarray, src: jnp.ndarray, col: int) -> jnp.ndarray:
+    """Substitute one lane column at ANY static position (the merged
+    layout's per-block x-wrap lanes sit mid-plane at s*nx, unlike the
+    edge-only columns _patch_col's concat mode assumes)."""
+    wx = v.shape[-1]
+    if col == 0:
+        return jnp.concatenate([src, v[..., 1:]], axis=-1)
+    if col == wx - 1:
+        return jnp.concatenate([v[..., :col], src], axis=-1)
+    return jnp.concatenate([v[..., :col], src, v[..., col + 1 :]], axis=-1)
+
+
+def merged_stream_channel(
+    v: jnp.ndarray,
+    cy: int,
+    cx: int,
+    merge_g: int,
+    phys_nx: int,
+    bmask0,
+    bmask_g1,
+    realign: int = 0,
+    row_window=None,
+):
+    """Row-merge pull streaming of ONE channel plane (ops/fold.py merge
+    family): the physical (ny, nx) torus evolved in the merged
+    (ny/G, W = G*nx) layout. The physical CY shift becomes part of ONE
+    combined lane roll by ``cy*nx + cx`` plus a ±1 row carry on the
+    boundary block's columns (block 0 for cy=+1, block G-1 for cy=-1 —
+    the merged rows' torus wrap); each block's x-wrap lane re-aims one
+    block over (``_patch_col_mid``), values from the same (v1, v2) pair.
+
+    ``realign`` adds the skew schedule's constant row slide (0 for the
+    classic recompute, +1 for the skewed main kernel) and ``row_window``
+    (start, size) slices the valid rows AFTER the row rolls (the lane roll
+    runs on the full window — one big roll beats two sliced ones).
+    ``bmask0``/``bmask_g1`` are the static boundary-block column masks at
+    the POST-slice shape. Bitwise fold.pull_merged (pure data movement)."""
+    wy, W = v.shape
+    L = (cy * phys_nx + cx) % W
+    if L:
+        v = pltpu.roll(v, L, 1)
+
+    def rows(r):
+        r %= wy
+        u = pltpu.roll(v, r, 0) if r else v
+        if row_window is not None:
+            u = u[row_window[0] : row_window[0] + row_window[1], :]
+        return u
+
+    v1 = rows(realign)
+    if cy != 0 and "mselect" not in COST_SKIP:
+        v2 = rows(realign + cy)
+        out = jnp.where(bmask0 if cy == 1 else bmask_g1, v2, v1)
+    else:
+        v2, out = None, v1
+    if cx != 0 and "mpatch" not in COST_SKIP:
+        bnd = 0 if cy == 1 else merge_g - 1
+        for s in range(merge_g):
+            if cx == 1:
+                dst = s * phys_nx
+                src = (dst + phys_nx) % W
+            else:
+                dst = s * phys_nx + phys_nx - 1
+                src = (dst - phys_nx) % W
+            plane = v2 if (cy != 0 and v2 is not None and s == bnd) else v1
+            out = _patch_col_mid(out, plane[:, src : src + 1], dst)
+    return out
+
+
+def merged_block_masks(rows: int, W: int, merge_g: int, phys_nx: int):
+    """(bmask0, bmask_g1): static (rows, W) column masks of blocks 0 and
+    G-1 for merged_stream_channel."""
+    blk = jax.lax.broadcasted_iota(jnp.int32, (rows, W), 1) // phys_nx
+    return blk == 0, blk == merge_g - 1
+
+
 def x_wrap_patch(v: jnp.ndarray, v_pre: jnp.ndarray, cx: int,
                  x_canon: int) -> jnp.ndarray:
     """Re-aim a lane roll's wrap column for a periodically x-extended window
@@ -131,6 +207,8 @@ def fused_window_steps(
     collide_split: int = 1,
     owned_step_dy: int = 0,
     x_canon: Optional[int] = None,
+    merge_g: int = 0,
+    phys_nx: int = 0,
 ):
     """Runs ``k_steps`` fused lattice steps on window values ``w`` (nine
     (H, W) planes). ``accel_sel`` selects the accelerated row's cells
@@ -172,6 +250,15 @@ def fused_window_steps(
     skew-fix kernel (ops/pallas_kstep_skew.py), whose sum coverage tracks
     the skewed main kernel's sliding valid region.
 
+    ``merge_g``/``phys_nx``: ROW-MERGED LAYOUT — the window holds the
+    merged (ny/G, G*nx) image of the physical torus (ops/fold.py merge
+    family); streaming goes through ``merged_stream_channel`` (one combined
+    lane roll + boundary-block row carry + per-block x-wrap lane patches)
+    instead of the plain CY/CX rolls. Mutually exclusive with ``x_canon``
+    and the margin-substitution machinery (the merged window is always
+    full-width). The caller's ``accel_sel`` must already carry the
+    accelerated row's block-column restriction.
+
     ``x_canon``: PERIODIC X-EXTENSION — the window's columns [x_canon, W)
     are mirror copies of columns [0, W - x_canon) (lane-padding an nx that
     is not a 128-multiple up to the tile width). The CX rolls then wrap at
@@ -190,6 +277,11 @@ def fused_window_steps(
     wy, wx = w[0].shape
     free = jnp.logical_not(blocked)
     off = sub_rows if sub_read is not None else 0
+    bm0 = bm_g1 = None
+    if merge_g > 1:
+        assert x_canon is None and sub_read is None and collect is None, \
+            "merged streaming is full-width only"
+        bm0, bm_g1 = merged_block_masks(wy, wx, merge_g, phys_nx)
 
     def cut(a):
         # drop the leading margin along sub_axis
@@ -244,13 +336,17 @@ def fused_window_steps(
         for c in range(NSPEEDS):
             v = w[c]
             if "roll" not in COST_SKIP:
-                if CY[c] != 0:
-                    v = pltpu.roll(v, CY[c] % wy, 0)
-                if CX[c] != 0:
-                    v_pre = v
-                    v = pltpu.roll(v, CX[c] % wx, 1)
-                    if x_canon is not None and x_canon != wx:
-                        v = x_wrap_patch(v, v_pre, CX[c], x_canon)
+                if merge_g > 1:
+                    v = merged_stream_channel(
+                        v, CY[c], CX[c], merge_g, phys_nx, bm0, bm_g1)
+                else:
+                    if CY[c] != 0:
+                        v = pltpu.roll(v, CY[c] % wy, 0)
+                    if CX[c] != 0:
+                        v_pre = v
+                        v = pltpu.roll(v, CX[c] % wx, 1)
+                        if x_canon is not None and x_canon != wx:
+                            v = x_wrap_patch(v, v_pre, CX[c], x_canon)
             if off:
                 v = cut(v)  # tile-aligned: collide skips the margin
             t.append(v)
