@@ -679,13 +679,16 @@ def make_fold_runner(
         ob_band = jnp.concatenate([obst_f[ny - bh :], obst_f[:bh]], axis=0)
 
         def do_chunk(gc, donor):
-            band = jnp.concatenate(
-                [gc[:, hf - bh * F :, :], gc[:, : bh * F, :]], axis=1
-            ).reshape(NSPEEDS, 2 * bh, nx)
             if donor is None:
                 g2, av = chunk_plain(gc, og, scal)
             else:
                 g2, av = chunk_k(gc, og, scal, donor)
+            if "foldfix" in window_step.COST_SKIP:
+                # cost instrumentation only: physics WRONG (seam unspliced)
+                return g2, av
+            band = jnp.concatenate(
+                [gc[:, hf - bh * F :, :], gc[:, : bh * F, :]], axis=1
+            ).reshape(NSPEEDS, 2 * bh, nx)
             vals, av_f = chunk_fix(band, ob_band, scal_fix)
             vals_g = vals[:, ve : ve + 2 * m, :].reshape(NSPEEDS, 2 * E, w)
             g2 = jax.lax.dynamic_update_slice(g2, vals_g[:, E:, :], (0, 0, 0))
