@@ -81,6 +81,7 @@ def test_two_process_cli_matches_single_process(tmp_path):
     np.testing.assert_allclose(a, b, rtol=1e-5)
 
 
+@pytest.mark.slow
 def test_two_process_save_single_process_restore(tmp_path):
     """Round-4 verdict item 7 (process elasticity): an orbax checkpoint
     written by a REAL 2-process gloo group — each process wrote only its own

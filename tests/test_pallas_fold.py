@@ -89,6 +89,41 @@ def test_fold_multiblock():
 
 
 @pytest.mark.smoke
+def test_remainder_keeps_chunk_formulation(monkeypatch):
+    """The sub-K jnp remainder must use the SAME equilibrium formulation as
+    the kernel chunks (production = pair-symmetric), never mixing forms
+    step-to-step within one run (r5 review finding)."""
+    from tpulbm.ops import fold as fold_mod
+    from tpulbm.ops import window_step
+
+    monkeypatch.setattr(window_step, "PAIR_SYMMETRIC_DEFAULT", True)
+    p, obst = _random_case(48, 256)
+    r = pkf.make_fold_runner(p, 3, F=2)   # n < K: pure jnp remainder
+    f, av = r(initial_state(p), obst)
+
+    def ref(ps):
+        # identically-structured jitted scan (compilation context changes
+        # f32 rounding, so an eager loop is NOT bitwise against the scan)
+        import jax
+
+        @jax.jit
+        def run(g, og):
+            def body(gc, _):
+                g2, av1 = fold_mod.lbm_step_folded(
+                    gc, og, p, 2, pair_symmetric=ps)
+                return g2, av1
+
+            g_out, _ = jax.lax.scan(body, g, None, length=3)
+            return fold_mod.unfold(g_out, 2)
+
+        return np.asarray(
+            run(fold_mod.fold(initial_state(p), 2), fold_mod.fold(obst, 2)))
+
+    assert np.array_equal(np.asarray(f), ref(True))
+    assert not np.array_equal(np.asarray(f), ref(False))
+
+
+@pytest.mark.smoke
 def test_supported_predicate():
     # the A/B targets: wide decks fold onto the 1-D window budget
     assert pkf.supported(2048, 2048, 2)

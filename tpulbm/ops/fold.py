@@ -128,12 +128,15 @@ def accelerate_folded(g: jnp.ndarray, obstacles_g: jnp.ndarray,
 
 
 def lbm_step_folded(g: jnp.ndarray, obstacles_g: jnp.ndarray,
-                    params: LBMParams, F: int):
+                    params: LBMParams, F: int, pair_symmetric: bool = False):
     """One folded-space step; (g', av) bitwise equal (after unfold) to
-    ops/step_jnp.lbm_step on the unfolded state."""
+    ops/step_jnp.lbm_step on the unfolded state (at the default canonical
+    equilibrium). Runners using this as a sub-K remainder pass the
+    formulation their kernel chunks use (window_step.PAIR_SYMMETRIC_DEFAULT)
+    so one run never mixes equilibria step-to-step."""
     g = accelerate_folded(g, obstacles_g, params, F)
     t = pull_folded(g, F)
-    out, speed = physics.collide(t, obstacles_g, params.omega)
+    out, speed = physics.collide(t, obstacles_g, params.omega, pair_symmetric)
     return jnp.stack(out), jnp.sum(speed, dtype=jnp.float32) * jnp.float32(
         params.free_cells_inv)
 
@@ -252,11 +255,13 @@ def accelerate_merged(m: jnp.ndarray, obstacles_m: jnp.ndarray,
 
 
 def lbm_step_merged(m: jnp.ndarray, obstacles_m: jnp.ndarray,
-                    params: LBMParams, G: int, nx: int):
+                    params: LBMParams, G: int, nx: int,
+                    pair_symmetric: bool = False):
     """One merged-space step; (m', av) bitwise equal (after unmerge) to
-    ops/step_jnp.lbm_step on the physical state."""
+    ops/step_jnp.lbm_step on the physical state (same remainder-formulation
+    contract as lbm_step_folded)."""
     m = accelerate_merged(m, obstacles_m, params, G, nx)
     t = pull_merged(m, G, nx)
-    out, speed = physics.collide(t, obstacles_m, params.omega)
+    out, speed = physics.collide(t, obstacles_m, params.omega, pair_symmetric)
     return jnp.stack(out), jnp.sum(speed, dtype=jnp.float32) * jnp.float32(
         params.free_cells_inv)

@@ -138,9 +138,15 @@ def make_merge_runner(
             m_out, avs = jax.lax.scan(body, m_out, None, length=n_outer)
             av = avs.reshape(-1)
         if rem:
+            # remainder keeps the CHUNKS' equilibrium formulation (the
+            # kernel remainder convention of every other tier)
+            from tpulbm.ops import window_step
+
+            ps = window_step.PAIR_SYMMETRIC_DEFAULT
+
             def rbody(mc, _):
                 m2, av1 = fold_mod.lbm_step_merged(
-                    mc, om_bool, params, G, nx)
+                    mc, om_bool, params, G, nx, pair_symmetric=ps)
                 return m2, av1
 
             m_out, av_r = jax.lax.scan(rbody, m_out, None, length=rem)

@@ -351,6 +351,15 @@ def make_fold(
     hf = ny * F
     if by is None:
         by = pick_by(hf, w, F)
+    elif by % 8 or by % F or by < slab_rows(F):
+        # an explicit by must satisfy the same admissibility pick_by
+        # enforces (supported() only checks pick_by's own choice); the
+        # VMEM budget is deliberately NOT enforced here so probe scripts
+        # can take compile-FAIL measurements past it (ab_fold --fold-by)
+        raise ValueError(
+            f"fold kernel: explicit by={by} must be an 8- and F-multiple "
+            f">= the slab height {slab_rows(F)}"
+        )
     if by is None or not supported(ny, nx, F, k_steps) or hf % by:
         raise ValueError(
             f"fold kernel unsupported for ({ny}, {nx}) F={F}, K={k_steps}"
@@ -723,8 +732,13 @@ def make_fold_runner(
             g_out, avs = jax.lax.scan(body, g_out, None, length=n_outer)
             av = avs.reshape(-1)
         if rem:
+            # remainder keeps the CHUNKS' equilibrium formulation (the
+            # kernel remainder convention of every other tier)
+            ps = window_step.PAIR_SYMMETRIC_DEFAULT
+
             def rbody(gc, _):
-                g2, av1 = fold_mod.lbm_step_folded(gc, og_bool, params, F)
+                g2, av1 = fold_mod.lbm_step_folded(
+                    gc, og_bool, params, F, pair_symmetric=ps)
                 return g2, av1
 
             g_out, av_r = jax.lax.scan(rbody, g_out, None, length=rem)

@@ -61,7 +61,9 @@ X_PATCH_MODE = "concat"
 
 
 def _patch_col(v: jnp.ndarray, src: jnp.ndarray, col: int) -> jnp.ndarray:
-    """Substitute one lane column per X_PATCH_MODE."""
+    """Substitute one lane column at ANY static position per X_PATCH_MODE
+    (edge columns for the x-extension wrap re-aims; mid-plane columns for
+    the merged layout's per-block x-wrap lanes)."""
     if X_PATCH_MODE == "at_set":
         return v.at[..., col : col + 1].set(src)
     if X_PATCH_MODE == "dus":
@@ -70,21 +72,12 @@ def _patch_col(v: jnp.ndarray, src: jnp.ndarray, col: int) -> jnp.ndarray:
     if X_PATCH_MODE == "concat":
         if col == 0:
             return jnp.concatenate([src, v[..., 1:]], axis=-1)
-        return jnp.concatenate([v[..., :col], src], axis=-1)
+        if col == v.shape[-1] - 1:
+            return jnp.concatenate([v[..., :col], src], axis=-1)
+        return jnp.concatenate([v[..., :col], src, v[..., col + 1 :]],
+                               axis=-1)
     cid = jax.lax.broadcasted_iota(jnp.int32, v.shape, v.ndim - 1)
     return jnp.where(cid == col, src, v)
-
-
-def _patch_col_mid(v: jnp.ndarray, src: jnp.ndarray, col: int) -> jnp.ndarray:
-    """Substitute one lane column at ANY static position (the merged
-    layout's per-block x-wrap lanes sit mid-plane at s*nx, unlike the
-    edge-only columns _patch_col's concat mode assumes)."""
-    wx = v.shape[-1]
-    if col == 0:
-        return jnp.concatenate([src, v[..., 1:]], axis=-1)
-    if col == wx - 1:
-        return jnp.concatenate([v[..., :col], src], axis=-1)
-    return jnp.concatenate([v[..., :col], src, v[..., col + 1 :]], axis=-1)
 
 
 def merged_stream_channel(
@@ -104,7 +97,7 @@ def merged_stream_channel(
     combined lane roll by ``cy*nx + cx`` plus a ±1 row carry on the
     boundary block's columns (block 0 for cy=+1, block G-1 for cy=-1 —
     the merged rows' torus wrap); each block's x-wrap lane re-aims one
-    block over (``_patch_col_mid``), values from the same (v1, v2) pair.
+    block over (``_patch_col``), values from the same (v1, v2) pair.
 
     ``realign`` adds the skew schedule's constant row slide (0 for the
     classic recompute, +1 for the skewed main kernel) and ``row_window``
@@ -140,7 +133,7 @@ def merged_stream_channel(
                 dst = s * phys_nx + phys_nx - 1
                 src = (dst - phys_nx) % W
             plane = v2 if (cy != 0 and v2 is not None and s == bnd) else v1
-            out = _patch_col_mid(out, plane[:, src : src + 1], dst)
+            out = _patch_col(out, plane[:, src : src + 1], dst)
     return out
 
 
