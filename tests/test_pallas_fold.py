@@ -88,6 +88,53 @@ def test_fold_multiblock():
     _run_and_compare(p, obst, 16, F=2, by=24, collide_split=2)
 
 
+@pytest.mark.parametrize("ny,nx,n,n_dev", [
+    pytest.param(96, 256, 16, 2, marks=pytest.mark.smoke),
+    (192, 256, 16, 4),   # band slabs chain through interior shards
+    (96, 256, 24, 2),    # odd head chunk + ping-pong
+])
+def test_fold_ring_matches_oracle(ny, nx, n, n_dev):
+    """Multi-device fold: each shard's seam fix doubles as the shard
+    boundary (band slab forward, fix-output slab backward); the global
+    accel row resolves through any shard via hf_global wrap arithmetic."""
+    from tpulbm.dist import runner as runner_mod
+    from tpulbm.dist.mesh import get_mesh
+
+    p, obst = _random_case(ny, nx)
+    f_ref, av_ref = run_steps(initial_state(p), obst, p, n)
+    r = runner_mod._make_fold_ring_runner(p, n, get_mesh(n_devices=n_dev))
+    f, av = r(initial_state(p), obst)
+    if jax.devices()[0].platform == "cpu":
+        np.testing.assert_allclose(
+            np.asarray(f), np.asarray(f_ref), rtol=0, atol=4e-9)
+    else:
+        assert np.array_equal(np.asarray(f), np.asarray(f_ref))
+    np.testing.assert_allclose(np.asarray(av), np.asarray(av_ref), rtol=2e-5)
+
+
+def test_fold_ring_routing(monkeypatch):
+    """make_runner routes a multi-device foldable grid with K-multiple
+    steps to the fold ring; a sub-K-multiple step count falls through
+    (the folded jnp remainder is single-device-only)."""
+    from tpulbm.dist import runner as runner_mod
+    from tpulbm.dist.mesh import get_mesh
+
+    built = []
+    monkeypatch.setattr(
+        runner_mod, "_make_fold_ring_runner",
+        lambda *a, **k: built.append(True) or (lambda f, o: (f, None)),
+    )
+    p, _ = _random_case(96, 2048)  # folds to (96, 1024) per shard at F=2
+    import tpulbm.ops.pallas_kstep_skew_fold as pkf
+
+    assert pkf.pick_fold_ring(96, 2048, 2) == 2
+    runner_mod.make_runner(p, 16, get_mesh(n_devices=2), backend="pallas")
+    assert built == [True]
+    built.clear()
+    runner_mod.make_runner(p, 20, get_mesh(n_devices=2), backend="pallas")
+    assert built == []
+
+
 @pytest.mark.smoke
 def test_remainder_keeps_chunk_formulation(monkeypatch):
     """The sub-K jnp remainder must use the SAME equilibrium formulation as

@@ -699,6 +699,143 @@ def _make_skew_runner(
     return runner
 
 
+def _make_fold_ring_runner(
+    params: LBMParams,
+    n_steps: int,
+    mesh: Mesh,
+    axis_name: str = AXIS,
+    F: int | None = None,
+    by: int | None = None,
+    collide_split: int = 1,
+):
+    """Multi-device lane-folded skew (ops/pallas_kstep_skew_fold.py): each
+    shard evolves its LOCAL folded rows with the fold kernel; the kernel's
+    seam-fix machinery doubles as the shard-boundary machinery — one
+    unfolded fix band per shard boundary, so NO state halo is exchanged for
+    the main kernel at all. Collective count per K-step chunk matches the
+    skew ring: one bh·F-row band slab forward (fix input from the shard
+    above) + one E-row slab backward (the fix's below-boundary values, the
+    neighbour's shard-top), plus the single deferred post-loop psum of the
+    |u| series. Requires n_steps % K == 0 (routing gates this; the folded
+    jnp remainder is single-device-only)."""
+    from tpulbm.core.lattice import NSPEEDS
+    from tpulbm.ops import fold as fold_mod
+    from tpulbm.ops import pallas_kstep_skew_fold as pkf
+
+    n_dev = mesh.devices.size
+    ny, nx = params.ny, params.nx
+    if F is None:
+        F = pkf.pick_fold_ring(ny, nx, n_dev)
+    k = pkf.FOLD_K
+    n_outer, rem = divmod(n_steps, k)
+    if F is None or rem or n_outer < 1:
+        raise ValueError(
+            f"fold ring unsupported for ({ny}, {nx}) on {n_dev} devices, "
+            f"n_steps={n_steps}"
+        )
+    w = nx // F
+    ny_loc = ny // n_dev
+    hf_loc = ny_loc * F
+    hf_glob = ny * F
+    E = k * pkf.slide(F)
+    m = pkf.fix_band_half(F)
+    bh = pkf.fix_band_side(F, k)
+    ve = bh - m - k
+    mk = functools.partial(
+        pkf.make_fold, ny_loc, nx, F, params.omega, params.accel_w1,
+        params.accel_w2, k, by=by, collide_split=collide_split,
+        hf_global=hf_glob,
+    )
+    alias_donor = n_outer >= 2
+    if alias_donor:
+        _, chunk_k = mk(alias_donor=True)
+        _, chunk_plain = mk()
+    else:
+        _, chunk_plain = mk()
+        chunk_k = None
+    chunk_fix = pkf.make_fold_fix(
+        ny, nx, F, params.omega, params.accel_w1, params.accel_w2, k)
+    free_inv = jnp.float32(params.free_cells_inv)
+    a_fold = params.accel_row * F
+    accel_glob = params.accel_row
+    perm_fwd = [(i, (i + 1) % n_dev) for i in range(n_dev)]
+    perm_bwd = [(i, (i - 1) % n_dev) for i in range(n_dev)]
+
+    def body(f_loc, obst_loc):
+        d = jax.lax.axis_index(axis_name)
+        g = fold_mod.fold(f_loc, F)
+        og = fold_mod.fold(obst_loc, F).astype(jnp.float32)
+        shard_off = (d * hf_loc).astype(jnp.int32)
+        scal = jnp.stack(
+            [jnp.int32(a_fold), shard_off]).reshape(1, 2)
+        band_base = jnp.mod(d * ny_loc - bh, ny).astype(jnp.int32)
+        scal_fix = jnp.stack(
+            [jnp.int32(accel_glob), band_base]).reshape(1, 2)
+        # obstacle band of MY lower-boundary fix: unfolded global rows
+        # [d*ny_loc - bh, d*ny_loc + bh) — lower half from the shard above
+        ob_lo = jax.lax.ppermute(
+            og[hf_loc - bh * F :, :], axis_name, perm_fwd)
+        ob_band = jnp.concatenate(
+            [ob_lo, og[: bh * F, :]], axis=0).reshape(2 * bh, nx)
+
+        def do_chunk(gc, donor):
+            lo = jax.lax.ppermute(
+                gc[:, hf_loc - bh * F :, :], axis_name, perm_fwd)
+            band = jnp.concatenate(
+                [lo, gc[:, : bh * F, :]], axis=1
+            ).reshape(NSPEEDS, 2 * bh, nx)
+            if donor is None:
+                g2, av = chunk_plain(gc, og, scal)
+            else:
+                g2, av = chunk_k(gc, og, scal, donor)
+            vals, av_f = chunk_fix(band, ob_band, scal_fix)
+            vals_g = vals[:, ve : ve + 2 * m, :].reshape(NSPEEDS, 2 * E, w)
+            # upper band half = my rows [0, E); lower half = the shard
+            # above's rows [hf_loc - E, hf_loc) — send it back up
+            top = jax.lax.ppermute(vals_g[:, :E, :], axis_name, perm_bwd)
+            g2 = jax.lax.dynamic_update_slice(g2, vals_g[:, E:, :], (0, 0, 0))
+            g2 = jax.lax.dynamic_update_slice(g2, top, (0, hf_loc - E, 0))
+            return g2, av + av_f
+
+        g_out = g
+        if alias_donor:
+            n_pairs, odd = divmod(n_outer, 2)
+            av_head = None
+            if odd:
+                g_out, av0 = do_chunk(g, None)
+                av_head = av0 * free_inv
+
+            def sbody(carry, _):
+                gc, scratch = carry
+                t1, av1 = do_chunk(gc, scratch)
+                t2, av2 = do_chunk(t1, gc)
+                return (t2, t1), jnp.concatenate([av1, av2]) * free_inv
+
+            (g_out, _), avs = jax.lax.scan(
+                sbody, (g_out, jnp.zeros_like(g)), None, length=n_pairs)
+            av = avs.reshape(-1)
+            if av_head is not None:
+                av = jnp.concatenate([av_head, av])
+        else:
+            g_out, av0 = do_chunk(g_out, None)
+            av = (av0 * free_inv).reshape(-1)
+        return fold_mod.unfold(g_out, F), jax.lax.psum(av, axis_name)
+
+    sharded = jax.shard_map(
+        body,
+        mesh=mesh,
+        in_specs=(P(None, axis_name, None), P(axis_name, None)),
+        out_specs=(P(None, axis_name, None), P()),
+        check_vma=False,
+    )
+
+    @functools.partial(jax.jit, donate_argnums=0)
+    def runner(f, obstacles):
+        return sharded(f, obstacles)
+
+    return runner
+
+
 def _make_kstep_bands_runner(
     params: LBMParams,
     n_steps: int,
@@ -1618,6 +1755,16 @@ def make_runner(
             # (docs/measurements/round5.md; sub-K remainder runs the folded
             # jnp oracle inside the same jit).
             return pallas_kstep_skew_fold.make_fold_runner(params, n_steps)
+        if (n_dev > 1 and n_steps >= pallas_kstep_skew_fold.FOLD_K
+                and n_steps % pallas_kstep_skew_fold.FOLD_K == 0
+                and pallas_kstep_skew_fold.pick_fold_ring(
+                    params.ny, params.nx, n_dev) is not None):
+            # Fold ring: the seam-fix machinery doubles as the shard
+            # boundary (one unfolded band per shard, NO main-kernel halo);
+            # two slabs per chunk like the skew ring. Sub-K remainders
+            # stay on the skew2d ring (the folded jnp remainder is
+            # single-device-only).
+            return _make_fold_ring_runner(params, n_steps, mesh, axis_name)
         from tpulbm.ops import pallas_kstep_skew2d
 
         if (n_steps >= pallas_kstep_skew.SKEW_K and skew_rem_ok

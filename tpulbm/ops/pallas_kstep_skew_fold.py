@@ -106,9 +106,10 @@ def supported(ny: int, nx: int, F: int, k: int = FOLD_K) -> bool:
 
 
 def _kernel(
-    f_ref,        # (9, HF, W) HBM folded pre-chunk state
+    f_ref,        # (9, HF, W) HBM folded pre-chunk state (local shard)
     obst_ref,     # (HF, W) HBM float32 mask (1.0 = blocked)
-    scal_ref,     # (1, 2) SMEM int32: [folded accel base row, 0]
+    scal_ref,     # (1, 2) SMEM int32: [folded accel base row, shard's
+                  # global folded row offset (0 on one device)]
     out_ref,      # (9, HF, W) HBM; rows [HF-E, HF) NOT written (fix splice)
     av_ref,       # (K, 1) SMEM per-step MAIN |u| sums (rows [E, HF-E) only)
     fbuf, obuf, vstage, slab,
@@ -124,7 +125,13 @@ def _kernel(
     w2: float,
     slots: int = 2,
     collide_split: int = 1,
+    hf_global: Optional[int] = None,
 ):
+    # hf = LOCAL shard rows (out size, clip bounds, the seam keep-mask);
+    # hf_global = the folded torus height for the accel-row wrap arithmetic
+    # (equal on one device)
+    if hf_global is None:
+        hf_global = hf
     k = k_steps
     sl = slide(F)
     sn = slab_rows(F)
@@ -229,6 +236,7 @@ def _kernel(
         out_wait(i - slots, slot)
 
     a_base = scal_ref[0, 0]  # folded accel band base row (accel_row * F)
+    shard_off = scal_ref[0, 1]
 
     wait_dmas(i, slot)
     wv = [fbuf[slot, c, pad : pad + by, :] for c in range(NSPEEDS)]
@@ -236,7 +244,10 @@ def _kernel(
     row_ids = jax.lax.broadcasted_iota(jnp.int32, (by, w), 0)
     row_col = jax.lax.broadcasted_iota(jnp.int32, (by, 1), 0)
     junk = jnp.zeros((pad - sn, w), jnp.float32)
-    base0 = i * by                           # global folded row of wv[0] @ s=0
+    base0 = i * by                           # LOCAL folded row of wv[0] @ s=0
+    gbase0 = shard_off + base0               # global (accel wrap arithmetic;
+    # shard_off % F == 0 is a ring-runner invariant so the strip masks'
+    # base0-drops-out-mod-F argument holds globally too
 
     for s in range(k):
         new_base = base0 - (s + 1) * sl
@@ -245,9 +256,10 @@ def _kernel(
         # inflow acceleration on the F folded rows of global row ny-2,
         # at the CURRENT state's valid coordinates (base0 - s*sl)
         free_v = o_win[pad_o : pad_o + by, :] == zero
-        a_off = jax.lax.rem(a_base - (base0 - s * sl) + 2 * hf, hf)
+        a_off = jax.lax.rem(
+            a_base - (gbase0 - s * sl) + 2 * hf_global, hf_global)
         sel_free = (
-            jax.lax.rem(row_ids - a_off + 2 * hf, hf) < F
+            jax.lax.rem(row_ids - a_off + 2 * hf_global, hf_global) < F
         ) & free_v
         wv = window_step.accel_update(wv, sel_free, w1f, w2f)
         # hand our top slab rows (post-accel, state s) to the next block
@@ -341,12 +353,16 @@ def make_fold(
     slots: int = 2,
     alias_donor: bool = False,
     collide_split: int = 1,
+    hf_global: Optional[int] = None,
 ):
     """Folded skewed K-step chunk over the FOLDED (9, ny*F, nx/F) state:
     ``chunk(g, obst_f, scal[, donor]) -> (g', av_main[k])``. Output rows
     [-E, E) (E = K*(2F-1)) are seam garbage/unwritten; the caller splices
     the fix kernel's values and adds its complementary av sums (see
-    make_fold_runner). ``scal`` is int32 (1, 2): [accel_row * F, 0]."""
+    make_fold_runner). ``scal`` is int32 (1, 2): [accel_row * F, shard's
+    global folded row offset — 0 on one device]. For a ring, ``ny`` is the
+    LOCAL shard rows and ``hf_global`` the folded torus height (the
+    shard offset must be an F-multiple; dist/runner._make_fold_ring)."""
     w = nx // F
     hf = ny * F
     if by is None:
@@ -373,7 +389,7 @@ def make_fold(
     kernel = functools.partial(
         _kernel, F=F, by=by, w=w, hf=hf, k_steps=k,
         omega=float(omega), w1=float(accel_w1), w2=float(accel_w2),
-        slots=slots, collide_split=collide_split,
+        slots=slots, collide_split=collide_split, hf_global=hf_global,
     )
     any_spec = pl.BlockSpec(memory_space=pl.ANY)
     in_specs = [any_spec, any_spec, pl.BlockSpec(memory_space=pltpu.SMEM)]
@@ -625,6 +641,21 @@ def pick_fold(ny: int, nx: int, k: int = FOLD_K) -> Optional[int]:
     residual the fold chases; docs/measurements/round4.md)."""
     for F in (2, 4, 8):
         if nx % F == 0 and nx // F <= 1536 and supported(ny, nx, F, k):
+            return F
+    return None
+
+
+def pick_fold_ring(ny: int, nx: int, n_dev: int,
+                   k: int = FOLD_K) -> Optional[int]:
+    """Ring variant: each shard's LOCAL folded shape must ride the fold
+    kernel (incl. its own fix band — the seam machinery doubles as the
+    shard-boundary machinery, one band per shard). n_dev == 1 reduces to
+    pick_fold."""
+    if ny % n_dev:
+        return None
+    ny_loc = ny // n_dev
+    for F in (2, 4, 8):
+        if nx % F == 0 and nx // F <= 1536 and supported(ny_loc, nx, F, k):
             return F
     return None
 
