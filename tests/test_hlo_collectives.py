@@ -145,3 +145,18 @@ def test_rdma_runner_loop_has_zero_xla_collectives(mosaic_lowering, maker):
     # and the single deferred psum of the av series
     assert mod["collective_permute"] == 2, mod
     assert mod["all_reduce"] == 1, mod
+
+
+def test_fold_ring_loop_has_exactly_two_slab_permutes(mosaic_lowering):
+    """The fold ring's designed schedule (r5): per K-chunk, ONE band slab
+    forward (the shard-boundary fix input) + ONE fix-output slab backward —
+    the main kernel exchanges no state halo at all — and the single
+    deferred psum of the |u| series outside the loop."""
+    txt = _export_tpu(R._make_fold_ring_runner, ny=96, nx=2048)
+    loop = _counts(step_loop_region(txt))
+    # the scan body is a donor ping-pong PAIR: two K-chunks per iteration,
+    # each with (main + fix) Mosaic kernels and exactly two permutes
+    assert loop["kernel"] >= 4, loop
+    assert loop["collective_permute"] == 4, loop
+    assert loop["all_reduce"] == loop["all_gather"] == 0, loop
+    assert _counts(txt)["all_reduce"] == 1
