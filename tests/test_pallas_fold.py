@@ -88,12 +88,13 @@ def test_fold_multiblock():
     _run_and_compare(p, obst, 16, F=2, by=24, collide_split=2)
 
 
-@pytest.mark.parametrize("ny,nx,n,n_dev", [
-    pytest.param(96, 256, 16, 2, marks=pytest.mark.smoke),
-    (192, 256, 16, 4),   # band slabs chain through interior shards
-    (96, 256, 24, 2),    # odd head chunk + ping-pong
+@pytest.mark.parametrize("ny,nx,F,n,n_dev", [
+    pytest.param(96, 256, None, 16, 2, marks=pytest.mark.smoke),
+    (192, 256, None, 16, 4),  # band slabs chain through interior shards
+    (96, 256, None, 24, 2),   # odd head chunk + ping-pong
+    (128, 512, 4, 16, 2),     # F=4: deeper slabs/splices across the ring
 ])
-def test_fold_ring_matches_oracle(ny, nx, n, n_dev):
+def test_fold_ring_matches_oracle(ny, nx, F, n, n_dev):
     """Multi-device fold: each shard's seam fix doubles as the shard
     boundary (band slab forward, fix-output slab backward); the global
     accel row resolves through any shard via hf_global wrap arithmetic."""
@@ -102,7 +103,8 @@ def test_fold_ring_matches_oracle(ny, nx, n, n_dev):
 
     p, obst = _random_case(ny, nx)
     f_ref, av_ref = run_steps(initial_state(p), obst, p, n)
-    r = runner_mod._make_fold_ring_runner(p, n, get_mesh(n_devices=n_dev))
+    r = runner_mod._make_fold_ring_runner(
+        p, n, get_mesh(n_devices=n_dev), F=F)
     f, av = r(initial_state(p), obst)
     if jax.devices()[0].platform == "cpu":
         np.testing.assert_allclose(

@@ -650,14 +650,10 @@ def pick_fold_ring(ny: int, nx: int, n_dev: int,
     """Ring variant: each shard's LOCAL folded shape must ride the fold
     kernel (incl. its own fix band — the seam machinery doubles as the
     shard-boundary machinery, one band per shard). n_dev == 1 reduces to
-    pick_fold."""
+    pick_fold; delegating keeps one F-selection policy."""
     if ny % n_dev:
         return None
-    ny_loc = ny // n_dev
-    for F in (2, 4, 8):
-        if nx % F == 0 and nx // F <= 1536 and supported(ny_loc, nx, F, k):
-            return F
-    return None
+    return pick_fold(ny // n_dev, nx, k)
 
 
 def make_fold_runner(
