@@ -35,6 +35,14 @@ def main():
     ap.add_argument("--collide-split", type=int, default=1)
     ap.add_argument("--F", type=int, default=None)
     ap.add_argument("--skip-prod", action="store_true")
+    ap.add_argument("--out-slots", type=int, default=None,
+                    help="vstage staging slots (1 = VMEM-slim single-staged "
+                         "output; default = pick_out_slots policy)")
+    ap.add_argument("--budget", type=int, default=None,
+                    help="probe: override the fold window budget "
+                         "(_BLOCK_BUDGET) to admit configs past the "
+                         "production envelope, as ab_skew_budget_1280 "
+                         "does for the 1-D skew")
     args = ap.parse_args()
 
     import jax
@@ -56,6 +64,10 @@ def main():
     obst = jnp.asarray(mask)
     cells = nx * ny
 
+    if args.budget is not None:
+        log(f"probe: fold _BLOCK_BUDGET {pkf._BLOCK_BUDGET} -> {args.budget}")
+        pkf._BLOCK_BUDGET = args.budget
+
     F = args.F or pkf.pick_fold(ny, nx)
     if F is None:
         log(f"fold unsupported for {args.grid}")
@@ -65,7 +77,8 @@ def main():
 
     variants = {}
     variants["fold"] = pkf.make_fold_runner(
-        params, n, F=F, by=args.fold_by, collide_split=args.collide_split)
+        params, n, F=F, by=args.fold_by, out_slots=args.out_slots,
+        collide_split=args.collide_split)
     if not args.skip_prod:
         variants["prod"] = make_runner(
             params, n, mesh=get_mesh(n_devices=1), backend="pallas")

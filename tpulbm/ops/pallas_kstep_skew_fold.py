@@ -89,6 +89,16 @@ def pick_by(hf: int, w: int, F: int) -> Optional[int]:
     return best
 
 
+def pick_out_slots(by: int, w: int, F: int, slots: int = 2) -> int:
+    """Output-staging slots for a window of (by + pad) x w: windows past the
+    classic 61,440 budget (slim-admitted, e.g. F=8's (32+32)x1024 at 8192²)
+    single-stage the output so the scratch fits scoped VMEM (the 2-slot
+    vstage overflows the 16 MB limit by 384 KB there — committed FAIL,
+    docs/measurements/round5.md). The reclaim wait moves one block later
+    and has the whole k-step compute to drain."""
+    return 1 if (by + window_pad(F)) * w > _BLOCK_BUDGET else slots
+
+
 def supported(ny: int, nx: int, F: int, k: int = FOLD_K) -> bool:
     if k != FOLD_K or F not in (1, 2, 4, 8) or nx % F:
         return False
@@ -124,6 +134,7 @@ def _kernel(
     w1: float,
     w2: float,
     slots: int = 2,
+    out_slots: Optional[int] = None,
     collide_split: int = 1,
     hf_global: Optional[int] = None,
 ):
@@ -132,6 +143,8 @@ def _kernel(
     # (equal on one device)
     if hf_global is None:
         hf_global = hf
+    if out_slots is None:
+        out_slots = slots
     k = k_steps
     sl = slide(F)
     sn = slab_rows(F)
@@ -142,6 +155,10 @@ def _kernel(
     n = pl.num_programs(0)
     slot = jax.lax.rem(i, slots)
     nslot = jax.lax.rem(i + 1, slots)
+    # static 0 when single-staged: a traced rem(i, 1) index on a singleton
+    # scratch dim defeats Mosaic's in-place staging (measured +1.8 MB scoped)
+    vslot = 0 if out_slots == 1 else jax.lax.rem(i, out_slots)
+    nvslot = 0 if out_slots == 1 else jax.lax.rem(i + 1, out_slots)
     zero = np.float32(0.0)
     w1f = np.float32(w1)
     w2f = np.float32(w2)
@@ -231,9 +248,9 @@ def _kernel(
             def _(c=c):
                 c.wait()
 
-    @pl.when(i >= slots)
+    @pl.when(i >= out_slots)
     def _():
-        out_wait(i - slots, slot)
+        out_wait(i - out_slots, vslot)
 
     a_base = scal_ref[0, 0]  # folded accel band base row (accel_row * F)
     shard_off = scal_ref[0, 1]
@@ -328,14 +345,14 @@ def _kernel(
             acc[s, 0] += part
 
     for c in range(NSPEEDS):
-        vstage[slot, c] = wv[c]
-    out_start(i, slot)
+        vstage[vslot, c] = wv[c]
+    out_start(i, vslot)
 
     @pl.when(i == n - 1)
     def _():
-        if n >= 2:
-            out_wait(i - 1, nslot)
-        out_wait(i, slot)
+        if out_slots >= 2 and n >= 2:
+            out_wait(i - 1, nvslot)
+        out_wait(i, vslot)
         for s in range(k):
             av_ref[s, 0] = acc[s, 0]
 
@@ -351,6 +368,7 @@ def make_fold(
     interpret: Optional[bool] = None,
     by: Optional[int] = None,
     slots: int = 2,
+    out_slots: Optional[int] = None,
     alias_donor: bool = False,
     collide_split: int = 1,
     hf_global: Optional[int] = None,
@@ -385,11 +403,14 @@ def make_fold(
     k = k_steps
     pad = window_pad(F)
     pad_o = k * slide(F)
+    if out_slots is None:
+        out_slots = pick_out_slots(by, w, F, slots)
 
     kernel = functools.partial(
         _kernel, F=F, by=by, w=w, hf=hf, k_steps=k,
         omega=float(omega), w1=float(accel_w1), w2=float(accel_w2),
-        slots=slots, collide_split=collide_split, hf_global=hf_global,
+        slots=slots, out_slots=out_slots, collide_split=collide_split,
+        hf_global=hf_global,
     )
     any_spec = pl.BlockSpec(memory_space=pl.ANY)
     in_specs = [any_spec, any_spec, pl.BlockSpec(memory_space=pltpu.SMEM)]
@@ -417,11 +438,11 @@ def make_fold(
         scratch_shapes=[
             pltpu.VMEM((slots, NSPEEDS, by + pad, w), jnp.float32),
             pltpu.VMEM((slots, by + pad_o, w), jnp.float32),
-            pltpu.VMEM((slots, NSPEEDS, by, w), jnp.float32),
+            pltpu.VMEM((out_slots, NSPEEDS, by, w), jnp.float32),
             pltpu.VMEM((k * NSPEEDS * slab_rows(F), w), jnp.float32),
             pltpu.SemaphoreType.DMA((slots,)),
             pltpu.SemaphoreType.DMA((slots,)),
-            pltpu.SemaphoreType.DMA((slots,)),
+            pltpu.SemaphoreType.DMA((out_slots,)),
             pltpu.SMEM((k, 1), jnp.float32),
         ],
         compiler_params=pltpu.CompilerParams(
@@ -661,6 +682,7 @@ def make_fold_runner(
     n_steps: int,
     F: Optional[int] = None,
     by: Optional[int] = None,
+    out_slots: Optional[int] = None,
     collide_split: int = 1,
     interpret: Optional[bool] = None,
     alias_donor: bool = True,
@@ -689,7 +711,7 @@ def make_fold_runner(
     mk = functools.partial(
         make_fold, ny, nx, F, params.omega, params.accel_w1,
         params.accel_w2, k, interpret=interpret, by=by,
-        collide_split=collide_split,
+        out_slots=out_slots, collide_split=collide_split,
     )
     if alias_donor and n_outer >= 2:
         _, chunk_k = mk(alias_donor=True)
